@@ -1,0 +1,143 @@
+"""DenseNet121 with 3D convolutions — the CT encoder.
+
+Faithful re-implementation of the architecture MONAI's
+``DenseNet121(spatial_dims=3, in_channels=1, out_channels=128,
+pretrained=False)`` provides (used at reference final_multimodal.py:66-71,
+simple_fusion.py:182-187, partial_modality_training.py:171-176):
+
+  conv0 7^3/s2 (64ch, no bias) -> BN -> ReLU -> maxpool 3^3/s2
+  dense blocks (6, 12, 24, 16), growth 32, bottleneck 4*growth 1x1x1
+  transitions: BN -> ReLU -> 1x1x1 conv (channels/2) -> avgpool 2^3/s2
+  final BN -> ReLU -> global avg pool -> Linear(1024 -> out_features)
+
+Init matches MONAI: kaiming-normal conv weights, BN gamma=1/beta=0, head
+Linear bias=0 (weight keeps torch Linear default).
+
+TPU-native choices: channels-last (B,D,H,W,C) so XLA lowers the 3D convs to
+MXU-tiled convolutions; compute dtype configurable (bfloat16 for throughput,
+float32 accumulation via preferred_element_type inside XLA conv).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .layers import BatchNorm, torch_uniform_init
+
+
+def kaiming_normal_init(key, shape, dtype=jnp.float32):
+    """Torch kaiming_normal_ (fan_in, relu gain) over flax conv kernel layout
+    (spatial..., in_ch, out_ch)."""
+    fan_in = int(np.prod(shape[:-1]))
+    std = (2.0 / fan_in) ** 0.5
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class _Conv(nn.Module):
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.kernel - 1) // 2
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel,) * 3,
+            strides=(self.stride,) * 3,
+            padding=[(pad, pad)] * 3,
+            use_bias=False,
+            kernel_init=kaiming_normal_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class DenseLayer(nn.Module):
+    growth_rate: int
+    bn_size: int
+    dropout: float
+    train: bool
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                      name="norm1")(x)
+        y = nn.relu(y)
+        y = _Conv(self.bn_size * self.growth_rate, 1, dtype=self.dtype,
+                  name="conv1")(y)
+        y = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                      name="norm2")(y)
+        y = nn.relu(y)
+        y = _Conv(self.growth_rate, 3, dtype=self.dtype, name="conv2")(y)
+        if self.dropout > 0:
+            y = nn.Dropout(self.dropout, deterministic=not self.train)(y)
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class Transition(nn.Module):
+    out_channels: int
+    train: bool
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                      name="norm")(x)
+        x = nn.relu(x)
+        x = _Conv(self.out_channels, 1, dtype=self.dtype, name="conv")(x)
+        return nn.avg_pool(x, (2, 2, 2), strides=(2, 2, 2))
+
+
+class DenseNet121_3D(nn.Module):
+    """Input (B, D, H, W, 1) -> features (B, out_features)."""
+
+    out_features: int = 128
+    init_features: int = 64
+    growth_rate: int = 32
+    block_config: Sequence[int] = (6, 12, 24, 16)
+    bn_size: int = 4
+    dropout: float = 0.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = _Conv(self.init_features, 7, stride=2, dtype=self.dtype,
+                  name="conv0")(x)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      name="norm0")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding=[(1, 1)] * 3)
+
+        channels = self.init_features
+        for bi, num_layers in enumerate(self.block_config):
+            for li in range(num_layers):
+                x = DenseLayer(
+                    self.growth_rate, self.bn_size, self.dropout, train,
+                    dtype=self.dtype, name=f"block{bi}_layer{li}",
+                )(x)
+            channels += num_layers * self.growth_rate
+            if bi != len(self.block_config) - 1:
+                channels //= 2
+                x = Transition(channels, train, dtype=self.dtype,
+                               name=f"transition{bi}")(x)
+
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      name="norm5")(x)
+        x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2, 3))  # AdaptiveAvgPool3d(1) + flatten
+        x = nn.Dense(
+            self.out_features,
+            kernel_init=torch_uniform_init(channels),
+            bias_init=nn.initializers.zeros,  # MONAI zeroes the head bias
+            dtype=self.dtype,
+            name="head",
+        )(x)
+        return x
