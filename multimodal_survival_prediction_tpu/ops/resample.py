@@ -1,0 +1,153 @@
+"""Fused CT preprocessing: min-max normalize + trilinear resample to a fixed
+training shape — the reference's host-side hot loop turned into device math.
+
+Reference behavior (reference partial_modality_training.py:94-109,
+simple_fusion.py:119-128): per sample, per epoch, on host:
+  (x - min) / (max - min + 1e-8)  ->  scipy.ndimage.zoom(vol, out/in, order=1)
+scipy's order-1 zoom (grid_mode=False) maps output coordinate o to input
+coordinate o * (in-1)/(out-1) (align-corners; verified empirically) — so a
+separable trilinear resample is exactly three small dense matmul contractions
+with interpolation matrices R_axis (out, in), two nonzeros per row. On TPU
+those contractions ride the MXU; normalization is an affine map that commutes
+with interpolation (rows of R sum to 1), so it folds into a scale/shift
+epilogue.
+
+Two implementations, golden-tested against scipy:
+  * ``resample_normalize``: XLA einsum chain (always available, any backend).
+  * ``resample_normalize_pallas``: one fused Pallas kernel streaming the
+    volume through VMEM slice-by-slice with an on-chip (Do,Ho,Wo) f32
+    accumulator — one HBM read of the volume, one write of the output.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def linear_interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) matrix M with M @ x == scipy.ndimage.zoom(x, out/in, order=1)."""
+    m = np.zeros((out_size, in_size), np.float32)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    if out_size == 1:
+        m[0, 0] = 1.0
+        return m
+    coords = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+    lo = np.floor(coords).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 2)
+    frac = (coords - lo).astype(np.float32)
+    m[np.arange(out_size), lo] = 1.0 - frac
+    m[np.arange(out_size), lo + 1] = frac
+    return m
+
+
+@lru_cache(maxsize=64)
+def _matrices(in_shape: tuple, out_shape: tuple):
+    return tuple(
+        jnp.asarray(linear_interp_matrix(i, o))
+        for i, o in zip(in_shape, out_shape)
+    )
+
+
+@partial(jax.jit, static_argnames=("out_shape",))
+def _resample_normalize_xla(vol, out_shape):
+    rz, ry, rx = _matrices(vol.shape, out_shape)
+    v = vol.astype(jnp.float32)
+    mn = jnp.min(v)
+    mx = jnp.max(v)
+    scale = 1.0 / (mx - mn + 1e-8)
+    # contract W first (largest shrink comes earliest): (D,H,W)@(W,Wo)
+    v = jnp.einsum("zhw,ow->zho", v, rx, precision="highest")
+    v = jnp.einsum("zho,ph->zpo", v, ry, precision="highest")
+    v = jnp.einsum("zpo,qz->qpo", v, rz, precision="highest")
+    return v * scale - mn * scale
+
+
+def resample_normalize(vol, out_shape=(64, 64, 32)):
+    """(D,H,W) array -> (out_shape) float32, min-max normalized then
+    trilinearly resampled (reference order: normalize BEFORE zoom — identical
+    result because interpolation weights are a partition of unity)."""
+    return _resample_normalize_xla(jnp.asarray(vol), tuple(out_shape))
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+def _resample_kernel(scalars_ref, vol_ref, rz_ref, ry_ref, rx_ref, out_ref,
+                     acc_ref):
+    """Grid over input z-slices. Per step:
+         s1 = vol[z]        (H,W)  @ rx^T (W,Wo)  -> (H,Wo)
+         s2 = ry (Ho,H)     @ s1               -> (Ho,Wo)
+         acc[zo] += rz[zo, z] * s2   (rank-1 update over output depth)
+       Last step: write acc * scale + shift to out.
+    scalars: [scale, shift] prefetched to SMEM."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    z = pl.program_id(0)
+    nz = pl.num_programs(0)
+
+    @pl.when(z == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    sl = vol_ref[0]  # (H, W) block for this z
+    s1 = jnp.dot(sl, rx_ref[:].T, preferred_element_type=jnp.float32)
+    s2 = jnp.dot(ry_ref[:], s1, preferred_element_type=jnp.float32)
+    w = rz_ref[:, 0]  # (Do,) column z of rz
+    acc_ref[:] += w[:, None, None] * s2[None, :, :]
+
+    @pl.when(z == nz - 1)
+    def _epilogue():
+        scale = scalars_ref[0]
+        shift = scalars_ref[1]
+        out_ref[:] = acc_ref[:] * scale + shift
+
+
+def resample_normalize_pallas(vol, out_shape=(64, 64, 32)):
+    """Fused Pallas version of :func:`resample_normalize` (TPU hot path)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    vol = jnp.asarray(vol, jnp.float32)
+    d, h, w = vol.shape
+    do, ho, wo = out_shape
+    rzn, ryn, rxn = (linear_interp_matrix(i, o)
+                     for i, o in zip(vol.shape, out_shape))
+    mn = jnp.min(vol)
+    mx = jnp.max(vol)
+    scale = 1.0 / (mx - mn + 1e-8)
+    scalars = jnp.stack([scale, -mn * scale])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda z, s: (z, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((do, 1), lambda z, s: (0, z),
+                         memory_space=pltpu.VMEM),  # rz column z
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ry full
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rx full
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((do, ho, wo), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _resample_kernel,
+        out_shape=jax.ShapeDtypeStruct((do, ho, wo), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(scalars, vol, jnp.asarray(rzn), jnp.asarray(ryn), jnp.asarray(rxn))
+
+
+def preprocess_volume(vol, out_shape=(64, 64, 32), use_pallas: bool = False):
+    """Public entry: one CT volume -> normalized fixed-shape training tensor."""
+    fn = resample_normalize_pallas if use_pallas else resample_normalize
+    return fn(vol, out_shape)

@@ -1,0 +1,52 @@
+"""Resample kernels vs scipy.ndimage.zoom order=1 golden (SURVEY §4 item 2)."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from multimodal_survival_prediction_tpu.ops.resample import (
+    linear_interp_matrix,
+    resample_normalize,
+    resample_normalize_pallas,
+)
+
+
+def golden(vol, out_shape):
+    """Reference semantics: minmax normalize then zoom order=1
+    (reference partial_modality_training.py:94-109)."""
+    v = (vol - vol.min()) / (vol.max() - vol.min() + 1e-8)
+    factors = [o / i for i, o in zip(vol.shape, out_shape)]
+    return ndimage.zoom(v, factors, order=1)
+
+
+@pytest.mark.parametrize("in_size,out_size", [(5, 3), (4, 7), (3, 1), (1, 3),
+                                              (100, 64), (17, 32)])
+def test_interp_matrix_matches_scipy_1d(in_size, out_size, rng):
+    x = rng.normal(size=in_size)
+    ours = linear_interp_matrix(in_size, out_size) @ x
+    sp = ndimage.zoom(x, out_size / in_size, order=1)
+    np.testing.assert_allclose(ours, sp, atol=1e-6)
+
+
+@pytest.mark.parametrize("in_shape", [(48, 96, 96), (40, 64, 64), (9, 11, 13)])
+def test_resample_normalize_matches_scipy(in_shape, rng):
+    vol = rng.normal(100, 50, size=in_shape).astype(np.float32)
+    out = np.asarray(resample_normalize(vol, (64, 64, 32)))
+    ref = golden(vol, (64, 64, 32))
+    assert out.shape == (64, 64, 32)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    assert out.min() >= -1e-5 and out.max() <= 1.0 + 1e-5
+
+
+def test_pallas_matches_xla(rng):
+    vol = rng.normal(size=(24, 40, 56)).astype(np.float32)
+    a = np.asarray(resample_normalize(vol, (64, 64, 32)))
+    b = np.asarray(resample_normalize_pallas(vol, (64, 64, 32)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_identity_resample(rng):
+    vol = rng.normal(size=(8, 8, 8)).astype(np.float32)
+    out = np.asarray(resample_normalize(vol, (8, 8, 8)))
+    ref = (vol - vol.min()) / (vol.max() - vol.min() + 1e-8)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
