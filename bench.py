@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: partial-modality (flagship) training epoch throughput in
+patients/sec on this device — fused fwd + Cox/gate losses + bwd + Adam, bs=8,
+DenseNet121-3D on 64x64x32 volumes, 608-patient epoch (the reference's
+flagship configuration, SURVEY §3.1).
+
+vs_baseline: ratio to the reference pipeline's epoch throughput measured on
+THIS machine's CPU (torch fwd+bwd step + per-sample host normalize+zoom that
+the reference redoes every epoch; benchmarks/torch_reference.py). The
+baseline measurement is cached in BENCH_BASELINE_CACHE.json since torch-CPU
+DenseNet3D steps are slow.
+
+Extras reported in the same line: preprocess vols/sec (fused on-device
+resample+normalize of 160x512x512 CTs), raw train steps/sec, bf16 steps/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+CACHE = Path(__file__).resolve().parent / "BENCH_BASELINE_CACHE.json"
+
+N_PATIENTS = 608  # flagship epoch size (348 labeled + 260 unlabeled)
+N_IMAGING = 142
+BATCH = 8
+IMAGE_SHAPE = (64, 64, 32)
+RNA_DIM = 5005
+CT_SHAPE = (160, 512, 512)  # typical TCGA-OV CT series
+
+
+def measure_train_steps_per_sec(dtype=None, timed_steps=30):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _example_batch
+    from multimodal_survival_prediction_tpu.models import PartialModalityNet
+    from multimodal_survival_prediction_tpu.ops.cox import (
+        cox_partial_likelihood,
+        gate_entropy_loss,
+    )
+
+    model = PartialModalityNet(dtype=dtype)
+    np_batch = _example_batch(BATCH, IMAGE_SHAPE, RNA_DIM)
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        batch["image"], batch["rnaseq"], batch["clinical"], batch["mask"],
+        train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+    opt_state = tx.init(params)
+
+    def loss_fn(p, bs, b, key):
+        (hazard, gates), mut = model.apply(
+            {"params": p, "batch_stats": bs},
+            b["image"], b["rnaseq"], b["clinical"], b["mask"], train=True,
+            rngs={"dropout": key}, mutable=["batch_stats"])
+        loss = cox_partial_likelihood(
+            hazard, b["time"], b["event"], valid=b["svalid"]
+        ) + 0.01 * gate_entropy_loss(gates, valid=b["valid"])
+        return loss, mut["batch_stats"]
+
+    @jax.jit
+    def train_step(p, bs, opt, b, key):
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p, bs, b, key)
+        updates, new_opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), new_bs, new_opt, loss
+
+    key = jax.random.PRNGKey(1)
+    # warmup/compile
+    params, batch_stats, opt_state, loss = train_step(
+        params, batch_stats, opt_state, batch, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(timed_steps):
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, batch,
+            jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+    return timed_steps / (time.perf_counter() - t0)
+
+
+def measure_preprocess_vols_per_sec(timed=8):
+    import jax
+    import numpy as np
+
+    from multimodal_survival_prediction_tpu.ops.resample import (
+        resample_normalize,
+        resample_normalize_pallas,
+    )
+
+    fn = (resample_normalize_pallas if jax.default_backend() == "tpu"
+          else resample_normalize)
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=CT_SHAPE).astype(np.float32)
+    out = fn(vol, IMAGE_SHAPE)  # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(timed):
+        out = fn(vol, IMAGE_SHAPE)  # includes host->device transfer
+    jax.block_until_ready(out)
+    return timed / (time.perf_counter() - t0)
+
+
+def reference_baseline(refresh=False):
+    if CACHE.exists() and not refresh:
+        return json.loads(CACHE.read_text())
+    from benchmarks.torch_reference import (
+        measure_host_preprocess,
+        measure_torch_train_step,
+    )
+
+    pre = measure_host_preprocess(CT_SHAPE, IMAGE_SHAPE)
+    step = measure_torch_train_step(BATCH, IMAGE_SHAPE, RNA_DIM)
+    base = {"host_preprocess_sec_per_vol": pre,
+            "torch_step_sec": step}
+    CACHE.write_text(json.dumps(base, indent=2))
+    return base
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    steps_per_sec = measure_train_steps_per_sec()
+    vols_per_sec = measure_preprocess_vols_per_sec()
+    try:
+        import jax.numpy as jnp
+
+        bf16_steps = measure_train_steps_per_sec(dtype=jnp.bfloat16,
+                                                 timed_steps=30)
+    except Exception:
+        bf16_steps = None
+
+    n_steps = -(-N_PATIENTS // BATCH)
+    our_epoch_sec = n_steps / steps_per_sec  # preprocessing amortized to ~0
+    our_patients_per_sec = N_PATIENTS / our_epoch_sec
+
+    base = reference_baseline()
+    ref_epoch_sec = (
+        n_steps * base["torch_step_sec"]
+        + N_IMAGING * base["host_preprocess_sec_per_vol"]
+    )
+    ref_patients_per_sec = N_PATIENTS / ref_epoch_sec
+
+    result = {
+        "metric": "partial_modality_epoch_throughput",
+        "value": round(our_patients_per_sec, 3),
+        "unit": "patients/s",
+        "vs_baseline": round(our_patients_per_sec / ref_patients_per_sec, 2),
+        "backend": backend,
+        "train_steps_per_sec_fp32": round(steps_per_sec, 3),
+        "train_steps_per_sec_bf16": (round(bf16_steps, 3)
+                                     if bf16_steps else None),
+        "preprocess_vols_per_sec": round(vols_per_sec, 3),
+        "reference_cpu_patients_per_sec": round(ref_patients_per_sec, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

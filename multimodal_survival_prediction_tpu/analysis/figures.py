@@ -1,0 +1,159 @@
+"""Figure generation (matplotlib/Agg) — the reference analysis layer's PNG
+outputs (SURVEY §2.7): comparison bars, fold-wise bars, significance heatmap,
+KM curves, modality availability, CT slice galleries, risk distributions."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+
+def _save(fig, out_path):
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def model_comparison_main(df: pd.DataFrame, out_path):
+    """3-panel main figure (reference final_comparison.py:121-202): ranked
+    bars with error bars, per-fold scatter, fold-count/dataset context."""
+    fig, axes = plt.subplots(1, 3, figsize=(16, 5))
+    names = df.model.tolist()
+    means = df.c_index_mean.to_numpy()
+    stds = df.c_index_std.to_numpy()
+
+    ax = axes[0]
+    y = np.arange(len(names))[::-1]
+    ax.barh(y, means, xerr=stds, color="#4878d0", alpha=0.85)
+    ax.set_yticks(y, names)
+    ax.axvline(0.5, color="gray", ls="--", lw=1, label="random (0.5)")
+    ax.set_xlabel("C-index")
+    ax.set_title("Model comparison (mean ± std)")
+    ax.legend()
+
+    ax = axes[1]
+    for i, (_, r) in enumerate(df.iterrows()):
+        fs = np.asarray(r.fold_scores)
+        ax.scatter([i] * len(fs), fs, alpha=0.8)
+        ax.plot([i - 0.2, i + 0.2], [fs.mean()] * 2, color="k")
+    ax.set_xticks(range(len(names)), names, rotation=30, ha="right")
+    ax.axhline(0.5, color="gray", ls="--", lw=1)
+    ax.set_ylabel("fold C-index")
+    ax.set_title("Per-fold scores")
+
+    ax = axes[2]
+    ax.bar(range(len(names)), df.n_folds, color="#ee854a", alpha=0.85)
+    ax.set_xticks(range(len(names)), names, rotation=30, ha="right")
+    ax.set_ylabel("folds")
+    ax.set_title("CV folds per model")
+    return _save(fig, out_path)
+
+
+def significance_heatmap(pmat: pd.DataFrame, out_path):
+    fig, ax = plt.subplots(figsize=(7, 6))
+    im = ax.imshow(pmat.to_numpy(), cmap="RdYlGn", vmin=0, vmax=0.2)
+    ax.set_xticks(range(len(pmat)), pmat.columns, rotation=45, ha="right")
+    ax.set_yticks(range(len(pmat)), pmat.index)
+    for i in range(len(pmat)):
+        for j in range(len(pmat)):
+            v = pmat.iloc[i, j]
+            if np.isfinite(v):
+                ax.text(j, i, f"{v:.2f}", ha="center", va="center",
+                        fontsize=8)
+    fig.colorbar(im, label="p-value")
+    ax.set_title("Pairwise significance (t-test)")
+    return _save(fig, out_path)
+
+
+def foldwise_bars(df: pd.DataFrame, out_path):
+    fig, ax = plt.subplots(figsize=(10, 5))
+    width = 0.8 / max(df.n_folds.max(), 1)
+    for i, (_, r) in enumerate(df.iterrows()):
+        fs = np.asarray(r.fold_scores)
+        for k, v in enumerate(fs):
+            ax.bar(i + (k - len(fs) / 2) * width, v, width * 0.9,
+                   color=plt.cm.tab10(k), label=f"fold {k+1}" if i == 0 else None)
+    ax.set_xticks(range(len(df)), df.model, rotation=30, ha="right")
+    ax.axhline(0.5, color="gray", ls="--", lw=1)
+    ax.set_ylabel("C-index")
+    ax.set_title("Fold-wise C-index")
+    ax.legend(fontsize=8)
+    return _save(fig, out_path)
+
+
+def km_plot(curves: dict, out_path, title="Kaplan-Meier", pvalue=None):
+    """curves: {label: KaplanMeier}."""
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for label, km in curves.items():
+        ax.step(km.timeline, km.survival, where="post", label=label)
+        ax.fill_between(km.timeline, km.ci_lower, km.ci_upper, step="post",
+                        alpha=0.15)
+    ax.set_xlabel("time (days)")
+    ax.set_ylabel("survival probability")
+    ax.set_ylim(0, 1.02)
+    t = title if pvalue is None else f"{title} (log-rank p={pvalue:.3g})"
+    ax.set_title(t)
+    ax.legend()
+    return _save(fig, out_path)
+
+
+def modality_availability(table: pd.DataFrame, out_path):
+    """Availability bars + survival-status pie (reference
+    create_report_figures.py:70-117)."""
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4.5))
+    counts = {
+        "CT imaging": int(table.has_imaging.sum()),
+        "RNA-seq": int(table.has_rnaseq.sum()),
+        "Clinical": int(table.has_clinical.sum()),
+        "Survival": int(table.has_survival.sum()),
+    }
+    axes[0].bar(counts.keys(), counts.values(), color="#4878d0")
+    axes[0].set_ylabel("patients")
+    axes[0].set_title(f"Modality availability (n={len(table)})")
+    dead = int((table.survival_status == 1).sum())
+    axes[1].pie([dead, len(table) - dead],
+                labels=["event (dead)", "censored/alive"],
+                autopct="%1.0f%%", colors=["#d65f5f", "#6acc64"])
+    axes[1].set_title("Survival status")
+    return _save(fig, out_path)
+
+
+def ct_slice_gallery(volumes: list, out_path, labels=None):
+    """Mid-slices of sample CT volumes (reference
+    create_report_figures.py:32-64)."""
+    n = len(volumes)
+    fig, axes = plt.subplots(1, max(n, 1), figsize=(4 * max(n, 1), 4))
+    if n == 1:
+        axes = [axes]
+    for ax, vol, lab in zip(axes, volumes,
+                            labels or [f"patient {i}" for i in range(n)]):
+        ax.imshow(np.asarray(vol)[vol.shape[0] // 2], cmap="gray")
+        ax.set_title(lab)
+        ax.axis("off")
+    return _save(fig, out_path)
+
+
+def risk_distributions(pred: pd.DataFrame, out_path):
+    """Risk histogram / boxplot by event / risk-vs-time scatter (reference
+    evaluate_model.py:127-188)."""
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4.5))
+    axes[0].hist(pred.risk_score, bins=30, color="#4878d0", alpha=0.85)
+    axes[0].set_title("Risk score distribution")
+    groups = [pred[pred.event == e].risk_score for e in (0, 1)]
+    axes[1].boxplot(groups, tick_labels=["censored", "event"])
+    axes[1].set_title("Risk by outcome")
+    sc = axes[2].scatter(pred.survival_time, pred.risk_score,
+                         c=pred.event, cmap="coolwarm", alpha=0.7)
+    axes[2].set_xlabel("survival time")
+    axes[2].set_ylabel("risk score")
+    axes[2].set_title("Risk vs time")
+    fig.colorbar(sc, label="event")
+    return _save(fig, out_path)

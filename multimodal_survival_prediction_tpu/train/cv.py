@@ -1,0 +1,219 @@
+"""K-fold cross-validation driver.
+
+Reproduces the reference training loop's control flow exactly (SURVEY §2.6):
+sklearn KFold(n_splits, shuffle=True, random_state=42) over the patient list
+(sklearn on host for bit-identical splits), per-epoch train + pooled-val
+C-index, ReduceLROnPlateau/cosine schedule, best-checkpoint-on-val-C-index,
+early stop after `patience` epochs without improvement, and the
+partial-modality trick of folding ALL unlabeled patients into every fold's
+train set (reference partial_modality_training.py:502-515).
+"""
+
+from __future__ import annotations
+
+import logging
+import time as _time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax
+import numpy as np
+import pandas as pd
+from sklearn.model_selection import KFold
+
+from ..config import ModelRunConfig
+from ..data.datasets import (
+    CohortArrays,
+    build_cohort_arrays,
+    load_rnaseq_matrix,
+    select_cohort,
+)
+from ..io.checkpoint import save_checkpoint
+from ..io.results import write_cv_results
+from .adapters import make_model_and_adapters
+from .engine import TrainConfig, Trainer
+from .schedules import ReduceLROnPlateau, cosine_annealing
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class FoldOutcome:
+    fold: int
+    best_c_index: float
+    best_epoch: int
+    train_size: int
+    val_size: int
+    train_survival_size: int | None = None
+    epochs_run: int = 0
+    history: list = field(default_factory=list)
+
+
+def run_cross_validation(
+    cfg: ModelRunConfig,
+    table: pd.DataFrame,
+    rnaseq_csv=None,
+    results_dir="results",
+    models_dir="models",
+    mesh=None,
+    backbone: str = "densenet121",
+    dtype=None,
+    use_pallas_resample: bool = False,
+    num_epochs: int | None = None,
+    write_outputs: bool = True,
+    profile_dir: str | None = None,
+):
+    """Full CV run for one model config. Returns (payload, fold_outcomes)."""
+    name = cfg.name
+    num_epochs = num_epochs or cfg.num_epochs
+
+    cohort = select_cohort(table, name)
+    rnaseq_df = None
+    if "rnaseq" in cfg.modalities and rnaseq_csv is not None:
+        rnaseq_df = load_rnaseq_matrix(rnaseq_csv)
+        if name == "rnaseq_only":
+            # reference intersects with the matrix index
+            # (train_rnaseq_only.py:239); order kept deterministic (sorted)
+            keep = cohort.patient_id.isin(set(rnaseq_df.index))
+            cohort = cohort[keep]
+
+    with_image = "image" in cfg.modalities
+    arrays = build_cohort_arrays(
+        cohort, rnaseq_df, with_image=with_image,
+        image_shape=cfg.image_shape, use_pallas=use_pallas_resample,
+    )
+    rna_dim = arrays.arrays["rnaseq"].shape[1]
+
+    # Survival-labeled vs unlabeled split (partial-modality fold trick)
+    svalid = arrays.arrays["svalid"] > 0
+    labeled_rows = np.nonzero(svalid)[0]
+    unlabeled_rows = np.nonzero(~svalid)[0]
+    # Non-partial models select only labeled patients at the cohort level, so
+    # their fold universe is every row; partial_modality folds over labeled
+    # rows only and appends the unlabeled to each train set below.
+    fold_rows = (labeled_rows if cfg.include_unlabeled_in_train
+                 else np.arange(arrays.n))
+
+    model, batch_to_inputs, hazard_and_aux = make_model_and_adapters(
+        cfg, rna_dim=rna_dim, backbone=backbone, dtype=dtype)
+    tcfg = TrainConfig(
+        batch_size=cfg.batch_size,
+        learning_rate=cfg.learning_rate,
+        weight_decay=cfg.weight_decay,
+        optimizer=cfg.optimizer,
+        grad_clip=cfg.grad_clip,
+        seed=cfg.seed,
+    )
+
+    data = arrays.to_device(mesh=mesh)
+
+    kfold = KFold(n_splits=cfg.n_folds, shuffle=True, random_state=cfg.seed)
+    outcomes: list[FoldOutcome] = []
+    t_start = _time.monotonic()
+    total_steps = 0
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
+    for fold, (tr_idx, va_idx) in enumerate(
+            kfold.split(fold_rows), start=1):
+        train_rows = fold_rows[tr_idx]
+        val_rows = fold_rows[va_idx]
+        train_survival_size = None
+        if cfg.include_unlabeled_in_train:
+            train_survival_size = len(train_rows)
+            train_rows = np.concatenate([train_rows, unlabeled_rows])
+
+        trainer = Trainer(model, batch_to_inputs, hazard_and_aux, tcfg,
+                          mesh=mesh)
+        example = {k: v[:cfg.batch_size] for k, v in data.items()}
+        example["valid"] = example["svalid"]
+        state = trainer.init_state(example)
+
+        shuffle_rng = np.random.default_rng(cfg.seed + fold)
+        dropout_key = jax.random.PRNGKey(cfg.seed * 1000 + fold)
+        plateau = ReduceLROnPlateau(lr=cfg.learning_rate)
+        lr = cfg.learning_rate
+
+        best_c, best_epoch, best_params, bad = -np.inf, 0, None, 0
+        history = []
+        epochs_run = 0
+        for epoch in range(1, num_epochs + 1):
+            if cfg.scheduler == "cosine":
+                lr = cosine_annealing(cfg.learning_rate, epoch - 1, num_epochs)
+            dropout_key, ek = jax.random.split(dropout_key)
+            state, tr_loss = trainer.train_epoch(
+                state, data, train_rows, shuffle_rng, lr, ek)
+            val_c, val_loss, _ = trainer.evaluate(state, data, val_rows)
+            if cfg.scheduler == "plateau":
+                lr = plateau.step(val_c)
+            history.append(dict(epoch=epoch, train_loss=tr_loss,
+                                val_loss=val_loss, val_c_index=val_c, lr=lr))
+            epochs_run = epoch
+            total_steps += -(-len(train_rows) // cfg.batch_size)
+
+            if val_c > best_c:
+                best_c, best_epoch = val_c, epoch
+                best_params = jax.device_get(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats})
+                bad = 0
+            else:
+                bad += 1
+            if cfg.patience is not None and bad >= cfg.patience:
+                log.info("[%s fold %d] early stop at epoch %d", name, fold,
+                         epoch)
+                break
+            if epoch % 10 == 0 or epoch == 1:
+                log.info("[%s fold %d] epoch %d loss %.4f val C %.4f",
+                         name, fold, epoch, tr_loss, val_c)
+
+        if write_outputs and best_params is not None:
+            save_checkpoint(
+                Path(models_dir) / name / f"fold_{fold}_best.msgpack",
+                best_params)
+
+        outcome = FoldOutcome(
+            fold=fold, best_c_index=float(best_c), best_epoch=best_epoch,
+            train_size=len(train_rows), val_size=len(val_rows),
+            train_survival_size=train_survival_size, epochs_run=epochs_run,
+            history=history)
+        outcomes.append(outcome)
+        log.info("[%s fold %d] best C-index %.4f @ epoch %d", name, fold,
+                 best_c, best_epoch)
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+
+    elapsed = _time.monotonic() - t_start
+    fold_results = []
+    for o in outcomes:
+        fr = {"fold": o.fold, "best_c_index": o.best_c_index,
+              "best_epoch": o.best_epoch, "train_size": o.train_size,
+              "val_size": o.val_size}
+        if o.train_survival_size is not None:
+            fr["train_survival_size"] = o.train_survival_size
+        fold_results.append(fr)
+
+    hyper = {
+        "batch_size": cfg.batch_size,
+        "learning_rate": cfg.learning_rate,
+        "epochs": num_epochs,
+        "n_folds": cfg.n_folds,
+    }
+    if cfg.gate_entropy_weight:
+        hyper["gate_entropy_weight"] = cfg.gate_entropy_weight
+    if cfg.mofe_lambda:
+        hyper["mofe_lambda"] = cfg.mofe_lambda
+
+    extra = {"n_folds": cfg.n_folds, "num_epochs": num_epochs,
+             "dataset_size": int(arrays.n)}
+    payload = None
+    if write_outputs:
+        payload = write_cv_results(
+            Path(results_dir) / name, cfg.display_name, fold_results,
+            hyperparameters=hyper, extra=extra,
+            legacy=(name == "image_only"))
+    log.info("[%s] CV done: %.1fs, %d steps, %.2f steps/s", name, elapsed,
+             total_steps, total_steps / max(elapsed, 1e-9))
+    return payload, outcomes

@@ -228,9 +228,15 @@ class Trainer:
     # ---------------- host-side API ----------------
 
     @staticmethod
-    def _pad_indices(n: int, batch_size: int,
+    def _pad_indices(indices, batch_size: int,
                      rng: np.random.Generator | None):
-        order = rng.permutation(n) if rng is not None else np.arange(n)
+        """Pad a fold's global row indices to (steps, batch) + validity mask.
+
+        Fixed shapes keep the epoch jit-stable; the padded tail mirrors the
+        reference DataLoader's ragged final batch (no drop_last)."""
+        indices = np.asarray(indices, np.int32)
+        order = rng.permutation(indices) if rng is not None else indices
+        n = len(indices)
         steps = max(1, -(-n // batch_size))
         padded = steps * batch_size
         idx = np.zeros(padded, np.int32)
@@ -249,21 +255,25 @@ class Trainer:
             bvalid = shard_batch_dim(bvalid, self.mesh, self.batch_axis, axis=1)
         return idx, bvalid
 
-    def train_epoch(self, state, data, n: int, shuffle_rng: np.random.Generator,
-                    lr: float, dropout_key):
+    def train_epoch(self, state, data, indices,
+                    shuffle_rng: np.random.Generator, lr: float, dropout_key):
+        """One epoch over `indices` (global row ids into `data`)."""
         if self._train_epoch_fn is None:
             self._train_epoch_fn = self._build_train_epoch()
-        perm, bvalid = self._pad_indices(n, self.cfg.batch_size, shuffle_rng)
+        perm, bvalid = self._pad_indices(indices, self.cfg.batch_size,
+                                         shuffle_rng)
         perm, bvalid = self._device_indices(perm, bvalid)
         state, loss = self._train_epoch_fn(state, data, perm, bvalid,
                                            dropout_key, jnp.float32(lr))
         return state, float(loss)
 
-    def evaluate(self, state, data, n: int):
+    def evaluate(self, state, data, indices):
+        """Pooled C-index / mean loss / per-sample hazards over `indices`."""
         if self._eval_fn is None:
             self._eval_fn = self._build_eval()
-        idx, bvalid = self._pad_indices(n, self.cfg.eval_batch_size, None)
+        idx, bvalid = self._pad_indices(indices, self.cfg.eval_batch_size,
+                                        None)
         idx, bvalid = self._device_indices(idx, bvalid)
         cindex, loss, hazards = self._eval_fn(
             state.params, state.batch_stats, data, idx, bvalid)
-        return float(cindex), float(loss), np.asarray(hazards)[:n]
+        return float(cindex), float(loss), np.asarray(hazards)[: len(indices)]

@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Final model comparison (parity with reference
+scripts/training/final_comparison.py): loads every results/<model>/
+cv_results.json (both schema variants), runs paired t-tests vs the best
+model, derives dataset stats from the matching table, renders the main
+comparison figure, and writes results/final_comparison/{SUMMARY.md,
+results.json}."""
+
+from common import base_parser, load_table_or_none
+
+
+def main():
+    args = base_parser(__doc__).parse_args()
+    from pathlib import Path
+
+    from multimodal_survival_prediction_tpu.analysis import (
+        collect_results,
+        export_results_json,
+        generate_summary_md,
+        paired_t_vs_best,
+    )
+    from multimodal_survival_prediction_tpu.analysis.figures import (
+        model_comparison_main,
+    )
+
+    out = Path(args.out_dir or Path(args.results_root) / "final_comparison")
+    df = collect_results(args.results_root)
+    if not len(df):
+        print(f"no cv_results.json found under {args.results_root}")
+        return
+    table = load_table_or_none(args.data_root)
+
+    model_comparison_main(df, out / "model_comparison_main.png")
+    md = generate_summary_md(df, table, out / "SUMMARY.md")
+    export_results_json(df, table, out / "results.json")
+    print(md)
+    stats = paired_t_vs_best(df)
+    print(stats[["model", "c_index_mean", "p_value"]].to_string(index=False))
+    print(f"\nartifacts -> {out}")
+
+
+if __name__ == "__main__":
+    main()

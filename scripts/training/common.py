@@ -1,0 +1,104 @@
+"""Shared CLI plumbing for the training entry points.
+
+Each script mirrors one reference training entry point (reference
+scripts/training/*.py) — same cohort rules, hyperparameter defaults, and
+artifact outputs (results/<model>/cv_results.json + models/<model>/fold_K
+checkpoints) — but as a thin wrapper over the library, with flags instead of
+edit-the-constants configuration (SURVEY §2.11)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO_ROOT))
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--data-root", default=".",
+                   help="root containing data/processed/full_matching_table.csv")
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--models-dir", default="models")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--n-folds", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--backbone", default="densenet121",
+                   choices=["densenet121", "simple_cnn"],
+                   help="CT encoder (simple_cnn = reference's MONAI-less fallback)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate & train on a synthetic cohort (no TCGA data)")
+    p.add_argument("--synthetic-patients", type=int, default=64)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="use an N-device data-parallel mesh (0 = single device)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute dtype for encoders")
+    p.add_argument("--pallas-resample", action="store_true")
+    p.add_argument("--profile-dir", default=None)
+    return p
+
+
+def run_training(args, cfg):
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from multimodal_survival_prediction_tpu.data import (
+        generate_synthetic_cohort,
+        load_matching_table,
+    )
+    from multimodal_survival_prediction_tpu.data.synthetic import (
+        SyntheticCohortSpec,
+    )
+    from multimodal_survival_prediction_tpu.parallel import make_mesh
+    from multimodal_survival_prediction_tpu.train.cv import (
+        run_cross_validation,
+    )
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+    )
+
+    cfg = cfg.with_overrides(
+        num_epochs=args.epochs, n_folds=args.n_folds,
+        batch_size=args.batch_size, learning_rate=args.learning_rate,
+        seed=args.seed,
+    )
+
+    root = Path(args.data_root)
+    if args.synthetic:
+        from multimodal_survival_prediction_tpu.data.synthetic import (
+            generate_synthetic_cohort,
+        )
+        table, paths = generate_synthetic_cohort(
+            root, SyntheticCohortSpec(n_patients=args.synthetic_patients))
+        rnaseq_csv = paths["rnaseq_csv"]
+    else:
+        table = load_matching_table(
+            root / "data" / "processed" / "full_matching_table.csv")
+        rnaseq_csv = root / "data" / "processed" / "rnaseq_normalized_mapped.csv"
+        if not rnaseq_csv.exists():
+            rnaseq_csv = None
+
+    mesh = make_mesh(args.mesh) if args.mesh else None
+    dtype = jnp.bfloat16 if args.bf16 else None
+
+    payload, outcomes = run_cross_validation(
+        cfg, table, rnaseq_csv=rnaseq_csv,
+        results_dir=args.results_dir, models_dir=args.models_dir,
+        mesh=mesh, backbone=args.backbone, dtype=dtype,
+        use_pallas_resample=args.pallas_resample,
+        profile_dir=args.profile_dir,
+    )
+    print(f"\n{cfg.display_name}: C-index "
+          f"{payload['c_index_mean']:.4f} ± {payload['c_index_std']:.4f}")
+    for o in outcomes:
+        print(f"  fold {o.fold}: best {o.best_c_index:.4f} "
+              f"@ epoch {o.best_epoch} ({o.epochs_run} epochs run)")
+    return payload

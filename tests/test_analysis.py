@@ -1,0 +1,89 @@
+"""Analysis-layer tests: comparison stats, summary generation, evaluation."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodal_survival_prediction_tpu.analysis import (
+    collect_results,
+    evaluate_predictions,
+    export_results_json,
+    generate_summary_md,
+    paired_t_vs_best,
+    pairwise_significance,
+)
+from multimodal_survival_prediction_tpu.analysis.comparison import (
+    recommendation_tier,
+    summary_statistics_csv,
+)
+from multimodal_survival_prediction_tpu.io.results import write_cv_results
+
+
+@pytest.fixture
+def results_root(tmp_path):
+    write_cv_results(
+        tmp_path / "rnaseq_only", "RNASeq-Only",
+        [{"fold": k, "best_c_index": c, "best_epoch": 5}
+         for k, c in enumerate([0.58, 0.66, 0.61], 1)],
+        hyperparameters={"batch_size": 16})
+    write_cv_results(
+        tmp_path / "image_only", None,
+        [{"fold": k, "best_c_index": c}
+         for k, c in enumerate([0.65, 0.54, 0.58], 1)],
+        legacy=True)
+    return tmp_path
+
+
+def test_collect_and_rank(results_root):
+    df = collect_results(results_root)
+    assert len(df) == 2
+    assert df.iloc[0].model == "RNASeq-Only"  # higher mean first
+    assert df.iloc[1].model == "image_only"  # legacy name from dir
+
+
+def test_paired_t_and_matrix(results_root):
+    df = collect_results(results_root)
+    dfp = paired_t_vs_best(df)
+    assert np.isnan(dfp.iloc[0].p_value)
+    assert 0 <= dfp.iloc[1].p_value <= 1
+    pmat = pairwise_significance(df)
+    assert pmat.shape == (2, 2)
+    assert np.isnan(pmat.iloc[0, 0])
+    assert pmat.iloc[0, 1] == pytest.approx(pmat.iloc[1, 0])
+
+
+def test_summary_and_export(results_root, tmp_path):
+    df = collect_results(results_root)
+    md = generate_summary_md(df, None, tmp_path / "SUMMARY.md")
+    assert "RNASeq-Only" in md and "| Rank |" in md
+    payload = export_results_json(df, None, tmp_path / "results.json")
+    on_disk = json.loads((tmp_path / "results.json").read_text())
+    assert on_disk["best_model"] == "RNASeq-Only"
+    assert len(on_disk["models"]) == 2
+    stats = summary_statistics_csv(df, tmp_path / "summary_statistics.csv")
+    assert {"model", "mean_c_index", "cv_percent",
+            "ci95_low"} <= set(stats.columns)
+
+
+def test_recommendation_tiers():
+    assert "Excellent" in recommendation_tier(0.72)
+    assert "random" in recommendation_tier(0.51)
+
+
+def test_evaluate_predictions(tmp_path, rng):
+    n = 80
+    risk = rng.normal(size=n)
+    time = np.exp(-risk) * rng.exponential(100, size=n) + 1
+    event = (rng.uniform(size=n) < 0.7).astype(float)
+    pred = pd.DataFrame(dict(
+        patient_id=[f"P{i}" for i in range(n)], risk_score=risk,
+        survival_time=time, event=event))
+    summary = evaluate_predictions(pred, out_dir=tmp_path)
+    assert summary["c_index"] > 0.6  # planted signal
+    assert summary["risk_groups"]["high"]["n"] + \
+        summary["risk_groups"]["low"]["n"] == n
+    on_disk = json.loads((tmp_path / "evaluation_summary.json").read_text())
+    assert on_disk["n_patients"] == n
+    assert on_disk["logrank"]["p_value"] <= 1.0

@@ -1,0 +1,126 @@
+"""Synthetic-cohort integration tests: each training entry point end-to-end
+for a couple of epochs on the CPU backend (SURVEY §4 items 3-4)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from multimodal_survival_prediction_tpu.config import (
+    FLEXIBLE_MULTIMODAL,
+    IMAGE_ONLY,
+    PARTIAL_MODALITY,
+    RNASEQ_ONLY,
+    SIMMLM,
+)
+from multimodal_survival_prediction_tpu.data.synthetic import (
+    SyntheticCohortSpec,
+    generate_synthetic_cohort,
+)
+from multimodal_survival_prediction_tpu.train.cv import run_cross_validation
+
+SMALL_IMG = (16, 16, 8)
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    td = tmp_path_factory.mktemp("cohort")
+    spec = SyntheticCohortSpec(n_patients=40, rna_dim=120, seed=3,
+                               p_imaging=0.8, p_rnaseq=0.8,
+                               image_shapes=((12, 20, 20), (10, 18, 18)))
+    table, paths = generate_synthetic_cohort(td, spec)
+    return table, paths, td
+
+
+def _run(cfg, cohort, tmp_path, **kw):
+    table, paths, _ = cohort
+    return run_cross_validation(
+        cfg, table, rnaseq_csv=paths["rnaseq_csv"],
+        results_dir=tmp_path / "results", models_dir=tmp_path / "models",
+        backbone="simple_cnn", **kw)
+
+
+def test_rnaseq_only_e2e(cohort, tmp_path):
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2)
+    payload, outcomes = _run(cfg, cohort, tmp_path, num_epochs=2)
+    assert payload["model"] == "RNASeq-Only"
+    assert len(payload["fold_results"]) == 2
+    for fr in payload["fold_results"]:
+        assert {"fold", "best_c_index", "best_epoch", "train_size",
+                "val_size"} <= set(fr)
+        assert 0.0 <= fr["best_c_index"] <= 1.0
+    # file written and loadable
+    with open(tmp_path / "results" / "rnaseq_only" / "cv_results.json") as f:
+        on_disk = json.load(f)
+    assert on_disk["c_index_mean"] == payload["c_index_mean"]
+
+
+def test_image_only_e2e(cohort, tmp_path):
+    cfg = IMAGE_ONLY.with_overrides(n_folds=2, image_shape=SMALL_IMG,
+                                    batch_size=4)
+    payload, _ = _run(cfg, cohort, tmp_path, num_epochs=2)
+    # legacy schema: no top-level "model" key (SURVEY §2.8)
+    assert "model" not in payload
+    assert "c_index_mean" in payload
+
+
+def test_partial_modality_e2e(cohort, tmp_path):
+    cfg = PARTIAL_MODALITY.with_overrides(n_folds=2, image_shape=SMALL_IMG,
+                                          batch_size=4)
+    payload, outcomes = _run(cfg, cohort, tmp_path, num_epochs=2)
+    table, _, _ = cohort
+    n_unlabeled = int((~table.has_survival).sum())
+    assert n_unlabeled > 0
+    for fr in payload["fold_results"]:
+        # unlabeled patients appended to every fold's train set
+        assert fr["train_size"] == fr["train_survival_size"] + n_unlabeled
+    assert payload["hyperparameters"]["gate_entropy_weight"] == 0.01
+
+
+def test_simmlm_e2e(cohort, tmp_path):
+    cfg = SIMMLM.with_overrides(n_folds=2, image_shape=SMALL_IMG,
+                                batch_size=4)
+    payload, _ = _run(cfg, cohort, tmp_path, num_epochs=1)
+    assert payload["hyperparameters"]["mofe_lambda"] == 0.1
+
+
+def test_flexible_multimodal_e2e(cohort, tmp_path):
+    cfg = FLEXIBLE_MULTIMODAL.with_overrides(n_folds=2, image_shape=SMALL_IMG,
+                                             batch_size=8)
+    payload, _ = _run(cfg, cohort, tmp_path, num_epochs=1)
+    assert len(payload["fold_results"]) == 2
+
+
+def test_rnaseq_only_on_mesh(cohort, tmp_path):
+    """Batch-DP over the virtual 8-device CPU mesh must run and produce a
+    valid result (collectives for the global Cox risk set included)."""
+    from multimodal_survival_prediction_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2, batch_size=16)
+    payload, _ = _run(cfg, cohort, tmp_path, num_epochs=2, mesh=mesh)
+    assert np.isfinite(payload["c_index_mean"])
+
+
+def test_seed42_splits_are_sklearn_kfold(cohort, tmp_path):
+    """Fold assignment must be bit-identical to sklearn KFold(shuffle, 42)."""
+    from sklearn.model_selection import KFold
+
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=3)
+    payload, outcomes = _run(cfg, cohort, tmp_path, num_epochs=1)
+    table, paths, _ = cohort
+    import pandas as pd
+
+    from multimodal_survival_prediction_tpu.data.datasets import (
+        load_rnaseq_matrix,
+        select_cohort,
+    )
+
+    cohort_df = select_cohort(table, "rnaseq_only")
+    rna = load_rnaseq_matrix(paths["rnaseq_csv"])
+    cohort_df = cohort_df[cohort_df.patient_id.isin(set(rna.index))]
+    n = len(cohort_df)
+    splits = list(KFold(3, shuffle=True, random_state=42).split(np.arange(n)))
+    for fr, (tr, va) in zip(payload["fold_results"], splits):
+        assert fr["train_size"] == len(tr)
+        assert fr["val_size"] == len(va)
