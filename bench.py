@@ -130,42 +130,64 @@ def reference_baseline(refresh=False):
 
 
 def main():
+    import traceback
+
     import jax
 
     backend = jax.default_backend()
-    steps_per_sec = measure_train_steps_per_sec()
-    vols_per_sec = measure_preprocess_vols_per_sec()
-    try:
-        import jax.numpy as jnp
+    errors = []
 
-        bf16_steps = measure_train_steps_per_sec(dtype=jnp.bfloat16,
-                                                 timed_steps=30)
-    except Exception:
-        bf16_steps = None
+    def _try(label, fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception as e:
+            errors.append(f"{label}: {type(e).__name__}: {e}")
+            traceback.print_exc(file=sys.stderr)
+            return None
+
+    steps_per_sec = _try("train_fp32", measure_train_steps_per_sec)
+    vols_per_sec = _try("preprocess", measure_preprocess_vols_per_sec)
+    import jax.numpy as jnp
+
+    bf16_steps = _try("train_bf16", measure_train_steps_per_sec,
+                      dtype=jnp.bfloat16, timed_steps=30)
+    if steps_per_sec is None:
+        print(json.dumps({
+            "metric": "partial_modality_epoch_throughput", "value": 0.0,
+            "unit": "patients/s", "vs_baseline": 0.0, "errors": errors}))
+        return
 
     n_steps = -(-N_PATIENTS // BATCH)
     our_epoch_sec = n_steps / steps_per_sec  # preprocessing amortized to ~0
     our_patients_per_sec = N_PATIENTS / our_epoch_sec
 
-    base = reference_baseline()
-    ref_epoch_sec = (
-        n_steps * base["torch_step_sec"]
-        + N_IMAGING * base["host_preprocess_sec_per_vol"]
-    )
-    ref_patients_per_sec = N_PATIENTS / ref_epoch_sec
+    base = _try("torch_baseline", reference_baseline)
+    if base is not None:
+        ref_epoch_sec = (
+            n_steps * base["torch_step_sec"]
+            + N_IMAGING * base["host_preprocess_sec_per_vol"]
+        )
+        ref_patients_per_sec = N_PATIENTS / ref_epoch_sec
+        vs_baseline = round(our_patients_per_sec / ref_patients_per_sec, 2)
+    else:
+        ref_patients_per_sec, vs_baseline = None, None
 
     result = {
         "metric": "partial_modality_epoch_throughput",
         "value": round(our_patients_per_sec, 3),
         "unit": "patients/s",
-        "vs_baseline": round(our_patients_per_sec / ref_patients_per_sec, 2),
+        "vs_baseline": vs_baseline,
         "backend": backend,
         "train_steps_per_sec_fp32": round(steps_per_sec, 3),
         "train_steps_per_sec_bf16": (round(bf16_steps, 3)
                                      if bf16_steps else None),
-        "preprocess_vols_per_sec": round(vols_per_sec, 3),
-        "reference_cpu_patients_per_sec": round(ref_patients_per_sec, 3),
+        "preprocess_vols_per_sec": (round(vols_per_sec, 3)
+                                    if vols_per_sec else None),
+        "reference_cpu_patients_per_sec": (round(ref_patients_per_sec, 3)
+                                           if ref_patients_per_sec else None),
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
 
 

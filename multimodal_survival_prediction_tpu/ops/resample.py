@@ -87,6 +87,7 @@ def _resample_kernel(scalars_ref, vol_ref, rz_ref, ry_ref, rx_ref, out_ref,
          acc[zo] += rz[zo, z] * s2   (rank-1 update over output depth)
        Last step: write acc * scale + shift to out.
     scalars: [scale, shift] prefetched to SMEM."""
+    import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
@@ -98,9 +99,17 @@ def _resample_kernel(scalars_ref, vol_ref, rz_ref, ry_ref, rx_ref, out_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     sl = vol_ref[0]  # (H, W) block for this z
-    s1 = jnp.dot(sl, rx_ref[:].T, preferred_element_type=jnp.float32)
-    s2 = jnp.dot(ry_ref[:], s1, preferred_element_type=jnp.float32)
-    w = rz_ref[:, 0]  # (Do,) column z of rz
+    # HIGHEST precision: the resample feeds training parity tests, so the
+    # MXU's default bf16 passes are not acceptable here (one-time cost).
+    s1 = jnp.dot(sl, rx_ref[:].T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    s2 = jnp.dot(ry_ref[:], s1, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    # column z of rz via masked lane reduction — TPU tiling forbids a
+    # (Do, 1) VMEM block, so rz is resident in full and the column is
+    # extracted with an iota mask (Do x D multiply, trivial on the VPU).
+    col = jax.lax.broadcasted_iota(jnp.int32, rz_ref.shape, 1) == z
+    w = jnp.sum(jnp.where(col, rz_ref[:], 0.0), axis=1)  # (Do,)
     acc_ref[:] += w[:, None, None] * s2[None, :, :]
 
     @pl.when(z == nz - 1)
@@ -131,8 +140,7 @@ def resample_normalize_pallas(vol, out_shape=(64, 64, 32)):
         in_specs=[
             pl.BlockSpec((1, h, w), lambda z, s: (z, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((do, 1), lambda z, s: (0, z),
-                         memory_space=pltpu.VMEM),  # rz column z
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rz full (tiny)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ry full
             pl.BlockSpec(memory_space=pltpu.VMEM),  # rx full
         ],
