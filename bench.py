@@ -122,9 +122,18 @@ def reference_baseline(refresh=False):
     )
 
     pre = measure_host_preprocess(CT_SHAPE, IMAGE_SHAPE)
-    step = measure_torch_train_step(BATCH, IMAGE_SHAPE, RNA_DIM)
+    print(f"[bench] host preprocess: {pre:.3f}s/vol", file=sys.stderr)
+    # torch DenseNet121-3D steps are minutes-per-step on this CPU; measure at
+    # batch 2 and scale linearly (3D conv cost is ~linear in batch) to keep
+    # the bench inside its time budget.
+    small = max(2, BATCH // 4)
+    step_small = measure_torch_train_step(small, IMAGE_SHAPE, RNA_DIM)
+    step = step_small * (BATCH / small)
+    print(f"[bench] torch step (bs={small}): {step_small:.2f}s "
+          f"-> scaled bs={BATCH}: {step:.2f}s", file=sys.stderr)
     base = {"host_preprocess_sec_per_vol": pre,
-            "torch_step_sec": step}
+            "torch_step_sec": step,
+            "torch_step_measured_batch": small}
     CACHE.write_text(json.dumps(base, indent=2))
     return base
 
@@ -146,11 +155,14 @@ def main():
             return None
 
     steps_per_sec = _try("train_fp32", measure_train_steps_per_sec)
+    print(f"[bench] train fp32: {steps_per_sec} steps/s", file=sys.stderr)
     vols_per_sec = _try("preprocess", measure_preprocess_vols_per_sec)
+    print(f"[bench] preprocess: {vols_per_sec} vols/s", file=sys.stderr)
     import jax.numpy as jnp
 
     bf16_steps = _try("train_bf16", measure_train_steps_per_sec,
                       dtype=jnp.bfloat16, timed_steps=30)
+    print(f"[bench] train bf16: {bf16_steps} steps/s", file=sys.stderr)
     if steps_per_sec is None:
         print(json.dumps({
             "metric": "partial_modality_epoch_throughput", "value": 0.0,

@@ -1,0 +1,227 @@
+// Native host-side I/O + preprocessing for the TPU survival framework.
+//
+// Replaces the native layer the reference gets from SimpleITK/ITK (C++) and
+// scipy.ndimage (C) — SURVEY §2.10: NIfTI-1 decode (gzip via zlib) and a
+// trilinear resample+normalize host fallback. Exposed as a plain C ABI for
+// ctypes (no pybind11 in this image). All entry points are GIL-free from
+// Python's perspective, so a thread pool of decoders scales across cores —
+// unlike the pure-Python reader, which serializes on the GIL.
+//
+// Build: make -C csrc   (produces libmsp_native.so)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+constexpr int kHdrSize = 348;
+
+struct NiftiData {
+  std::vector<float> voxels;  // (D, H, W) C-order
+  int64_t dims[3];            // D, H, W
+  float spacing[3];           // x, y, z
+  float origin[3];
+};
+
+// -- gzip / raw file load ---------------------------------------------------
+
+bool load_file(const char* path, std::vector<uint8_t>& out) {
+  size_t n = std::strlen(path);
+  bool gz = n > 3 && std::strcmp(path + n - 3, ".gz") == 0;
+  if (gz) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return false;
+    // grow-and-read; typical CT volume ~50-400 MB decompressed
+    size_t cap = 16 << 20;
+    out.resize(cap);
+    size_t total = 0;
+    for (;;) {
+      if (total == out.size()) out.resize(out.size() * 2);
+      int got = gzread(f, out.data() + total,
+                       static_cast<unsigned>(out.size() - total));
+      if (got < 0) { gzclose(f); return false; }
+      if (got == 0) break;
+      total += static_cast<size_t>(got);
+    }
+    gzclose(f);
+    out.resize(total);
+    return true;
+  }
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  out.resize(static_cast<size_t>(sz));
+  size_t got = std::fread(out.data(), 1, out.size(), f);
+  std::fclose(f);
+  return got == out.size();
+}
+
+template <typename T>
+T rd(const uint8_t* p) {
+  T v;
+  std::memcpy(&v, p, sizeof(T));
+  return v;
+}
+
+// Convert on-disk Fortran-order (x fastest) voxels to (D,H,W) float32.
+template <typename T>
+void transpose_to_dhw(const uint8_t* src, int64_t nx, int64_t ny, int64_t nz,
+                      float slope, float inter, std::vector<float>& out) {
+  out.resize(static_cast<size_t>(nx) * ny * nz);
+  const T* s = reinterpret_cast<const T*>(src);
+  for (int64_t z = 0; z < nz; ++z)
+    for (int64_t y = 0; y < ny; ++y) {
+      const T* row = s + z * nx * ny + y * nx;
+      float* dst = out.data() + (z * ny + y) * nx;
+      for (int64_t x = 0; x < nx; ++x)
+        dst[x] = static_cast<float>(row[x]) * slope + inter;
+    }
+}
+
+NiftiData* decode_nifti(const char* path) {
+  std::vector<uint8_t> raw;
+  if (!load_file(path, raw) || raw.size() < kHdrSize + 4) return nullptr;
+  const uint8_t* h = raw.data();
+  if (rd<int32_t>(h) != kHdrSize) return nullptr;  // big-endian unsupported here
+  int16_t ndim = rd<int16_t>(h + 40);
+  if (ndim < 3) return nullptr;
+  int64_t nx = rd<int16_t>(h + 42), ny = rd<int16_t>(h + 44),
+          nz = rd<int16_t>(h + 46);
+  int16_t datatype = rd<int16_t>(h + 70);
+  float pixdim[3] = {rd<float>(h + 80), rd<float>(h + 84), rd<float>(h + 88)};
+  float vox_offset = rd<float>(h + 108);
+  float slope = rd<float>(h + 112), inter = rd<float>(h + 116);
+  if (slope == 0.0f) slope = 1.0f;
+  float qoff[3] = {rd<float>(h + 268), rd<float>(h + 272), rd<float>(h + 276)};
+  const char* magic = reinterpret_cast<const char*>(h + 344);
+  if (std::strncmp(magic, "n+1", 3) != 0 && std::strncmp(magic, "ni1", 3) != 0)
+    return nullptr;
+
+  size_t off = static_cast<size_t>(vox_offset);
+  size_t nvox = static_cast<size_t>(nx) * ny * nz;
+  auto* out = new NiftiData();
+  out->dims[0] = nz; out->dims[1] = ny; out->dims[2] = nx;
+  for (int i = 0; i < 3; ++i) { out->spacing[i] = pixdim[i]; out->origin[i] = qoff[i]; }
+
+  const uint8_t* v = raw.data() + off;
+  size_t avail = raw.size() - off;
+  bool ok = true;
+  switch (datatype) {
+    case 2:   ok = avail >= nvox * 1; if (ok) transpose_to_dhw<uint8_t >(v, nx, ny, nz, slope, inter, out->voxels); break;
+    case 4:   ok = avail >= nvox * 2; if (ok) transpose_to_dhw<int16_t >(v, nx, ny, nz, slope, inter, out->voxels); break;
+    case 8:   ok = avail >= nvox * 4; if (ok) transpose_to_dhw<int32_t >(v, nx, ny, nz, slope, inter, out->voxels); break;
+    case 16:  ok = avail >= nvox * 4; if (ok) transpose_to_dhw<float   >(v, nx, ny, nz, slope, inter, out->voxels); break;
+    case 64:  ok = avail >= nvox * 8; if (ok) transpose_to_dhw<double  >(v, nx, ny, nz, slope, inter, out->voxels); break;
+    case 256: ok = avail >= nvox * 1; if (ok) transpose_to_dhw<int8_t  >(v, nx, ny, nz, slope, inter, out->voxels); break;
+    case 512: ok = avail >= nvox * 2; if (ok) transpose_to_dhw<uint16_t>(v, nx, ny, nz, slope, inter, out->voxels); break;
+    default:  ok = false;
+  }
+  if (!ok) { delete out; return nullptr; }
+  return out;
+}
+
+// scipy.ndimage.zoom(order=1, grid_mode=False) coordinate convention:
+// in_coord = out_coord * (in-1)/(out-1)  (align-corners; matches
+// ops/resample.py linear_interp_matrix)
+inline void interp_axis(int64_t in, int64_t out, std::vector<int>& lo,
+                        std::vector<float>& frac) {
+  lo.resize(out); frac.resize(out);
+  for (int64_t o = 0; o < out; ++o) {
+    if (in == 1 || out == 1) { lo[o] = 0; frac[o] = 0.f; continue; }
+    double c = static_cast<double>(o) * (in - 1) / (out - 1);
+    int64_t l = static_cast<int64_t>(std::floor(c));
+    if (l > in - 2) l = in - 2;
+    lo[o] = static_cast<int>(l);
+    frac[o] = static_cast<float>(c - l);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open + decode; returns handle (or null). dims/spacing/origin filled.
+void* msp_nifti_open(const char* path, int64_t dims[3], float spacing[3],
+                     float origin[3]) {
+  NiftiData* d = decode_nifti(path);
+  if (!d) return nullptr;
+  for (int i = 0; i < 3; ++i) {
+    dims[i] = d->dims[i];
+    spacing[i] = d->spacing[i];
+    origin[i] = d->origin[i];
+  }
+  return d;
+}
+
+// Copy decoded (D,H,W) float32 voxels into caller buffer.
+int msp_nifti_copy(void* handle, float* out) {
+  auto* d = static_cast<NiftiData*>(handle);
+  if (!d) return -1;
+  std::memcpy(out, d->voxels.data(), d->voxels.size() * sizeof(float));
+  return 0;
+}
+
+void msp_nifti_close(void* handle) {
+  delete static_cast<NiftiData*>(handle);
+}
+
+// Fused minmax-normalize + trilinear resample (host fallback of the device
+// kernel). in: (d,h,w) C-order float32 -> out: (od,oh,ow).
+int msp_resample_normalize(const float* in, int64_t d, int64_t h, int64_t w,
+                           float* out, int64_t od, int64_t oh, int64_t ow) {
+  if (d < 1 || h < 1 || w < 1 || od < 1 || oh < 1 || ow < 1) return -1;
+  // pass 1: min/max
+  const int64_t n = d * h * w;
+  float mn = in[0], mx = in[0];
+  for (int64_t i = 1; i < n; ++i) {
+    float v = in[i];
+    if (v < mn) mn = v;
+    if (v > mx) mx = v;
+  }
+  const float scale = 1.0f / (mx - mn + 1e-8f);
+
+  std::vector<int> zlo, ylo, xlo;
+  std::vector<float> zf, yf, xf;
+  interp_axis(d, od, zlo, zf);
+  interp_axis(h, oh, ylo, yf);
+  interp_axis(w, ow, xlo, xf);
+
+  const int64_t hw = h * w;
+  for (int64_t oz = 0; oz < od; ++oz) {
+    const int z0 = zlo[oz];
+    const float fz = zf[oz];
+    const int64_t z1 = (d > 1) ? z0 + 1 : z0;
+    for (int64_t oy = 0; oy < oh; ++oy) {
+      const int y0 = ylo[oy];
+      const float fy = yf[oy];
+      const int64_t y1 = (h > 1) ? y0 + 1 : y0;
+      float* dst = out + (oz * oh + oy) * ow;
+      const float* p00 = in + z0 * hw + y0 * w;
+      const float* p01 = in + z0 * hw + y1 * w;
+      const float* p10 = in + z1 * hw + y0 * w;
+      const float* p11 = in + z1 * hw + y1 * w;
+      for (int64_t ox = 0; ox < ow; ++ox) {
+        const int x0 = xlo[ox];
+        const float fx = xf[ox];
+        const int64_t x1 = (w > 1) ? x0 + 1 : x0;
+        const float c00 = p00[x0] * (1 - fx) + p00[x1] * fx;
+        const float c01 = p01[x0] * (1 - fx) + p01[x1] * fx;
+        const float c10 = p10[x0] * (1 - fx) + p10[x1] * fx;
+        const float c11 = p11[x0] * (1 - fx) + p11[x1] * fx;
+        const float c0 = c00 * (1 - fy) + c01 * fy;
+        const float c1 = c10 * (1 - fy) + c11 * fy;
+        dst[ox] = ((c0 * (1 - fz) + c1 * fz) - mn) * scale;
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

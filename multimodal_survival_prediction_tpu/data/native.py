@@ -1,0 +1,116 @@
+"""ctypes bindings for the C++ native I/O library (csrc/libmsp_native.so).
+
+The native reader releases the GIL for the whole gzip-decode + transpose, so
+VolumePrefetcher's thread pool actually parallelizes across cores — the
+pure-Python fallback (data.nifti) serializes on the interpreter lock.
+
+Build with `make -C csrc` (auto-attempted once on first use). Every entry
+point falls back to the pure-Python implementation when the library is
+unavailable, so nothing hard-depends on the toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_CSRC = Path(__file__).resolve().parents[2] / "csrc"
+_SO = _CSRC / "libmsp_native.so"
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _SO.exists():
+        try:
+            subprocess.run(["make", "-C", str(_CSRC)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as e:
+            log.info("native build unavailable (%s); using pure-Python I/O", e)
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError as e:
+        log.info("native load failed (%s); using pure-Python I/O", e)
+        return None
+    lib.msp_nifti_open.restype = ctypes.c_void_p
+    lib.msp_nifti_open.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.msp_nifti_copy.restype = ctypes.c_int
+    lib.msp_nifti_copy.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_float)]
+    lib.msp_nifti_close.argtypes = [ctypes.c_void_p]
+    lib.msp_resample_normalize.restype = ctypes.c_int
+    lib.msp_resample_normalize.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def read_nifti_fast(path):
+    """NIfTI -> NiftiImage via the C++ reader; pure-Python fallback."""
+    from .nifti import NiftiImage, read_nifti
+
+    lib = _load()
+    if lib is None:
+        return read_nifti(path)
+    dims = (ctypes.c_int64 * 3)()
+    spacing = (ctypes.c_float * 3)()
+    origin = (ctypes.c_float * 3)()
+    handle = lib.msp_nifti_open(str(path).encode(), dims, spacing, origin)
+    if not handle:
+        return read_nifti(path)  # e.g. big-endian files
+    try:
+        out = np.empty((dims[0], dims[1], dims[2]), np.float32)
+        rc = lib.msp_nifti_copy(
+            ctypes.c_void_p(handle),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            return read_nifti(path)
+    finally:
+        lib.msp_nifti_close(ctypes.c_void_p(handle))
+    import numpy as _np
+
+    affine = _np.eye(4)
+    affine[0, 0], affine[1, 1], affine[2, 2] = spacing[:]
+    affine[:3, 3] = origin[:]
+    return NiftiImage(data=out, spacing=tuple(spacing[:]),
+                      origin=tuple(origin[:]), affine=affine)
+
+
+def resample_normalize_host(vol: np.ndarray, out_shape) -> np.ndarray:
+    """C++ fused minmax+trilinear resample (host). Falls back to the XLA op
+    on CPU backend if the library is unavailable."""
+    lib = _load()
+    vol = np.ascontiguousarray(vol, np.float32)
+    if lib is None:
+        from ..ops.resample import resample_normalize
+
+        return np.asarray(resample_normalize(vol, tuple(out_shape)))
+    out = np.empty(tuple(out_shape), np.float32)
+    rc = lib.msp_resample_normalize(
+        vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        *vol.shape,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        *out.shape)
+    if rc != 0:
+        raise ValueError(f"resample failed for shape {vol.shape}")
+    return out

@@ -1,0 +1,82 @@
+"""C++ native I/O + prefetch pipeline tests."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from multimodal_survival_prediction_tpu.data.native import (
+    native_available,
+    read_nifti_fast,
+    resample_normalize_host,
+)
+from multimodal_survival_prediction_tpu.data.nifti import (
+    read_nifti,
+    write_nifti,
+)
+from multimodal_survival_prediction_tpu.data.pipeline import (
+    BatchPrefetcher,
+    VolumePrefetcher,
+)
+
+
+def test_native_read_matches_python(tmp_path, rng):
+    vol = rng.normal(0, 100, size=(14, 22, 18)).astype(np.float32)
+    p = tmp_path / "v.nii.gz"
+    write_nifti(p, vol, spacing=(0.5, 0.5, 3.0))
+    a = read_nifti_fast(p)
+    b = read_nifti(p)
+    np.testing.assert_array_equal(a.data, b.data)
+    assert a.spacing == pytest.approx(b.spacing)
+
+
+def test_native_resample_matches_scipy(rng):
+    vol = rng.normal(size=(20, 30, 25)).astype(np.float32)
+    v = (vol - vol.min()) / (vol.max() - vol.min() + 1e-8)
+    golden = ndimage.zoom(v, [o / i for i, o in zip(vol.shape, (16, 16, 8))],
+                          order=1)
+    ours = resample_normalize_host(vol, (16, 16, 8))
+    np.testing.assert_allclose(ours, golden, atol=2e-6)
+
+
+def test_volume_prefetcher(tmp_path, rng):
+    paths = []
+    vols = []
+    for i in range(5):
+        vol = rng.normal(size=(10, 12, 14)).astype(np.float32)
+        p = tmp_path / f"{i}.nii.gz"
+        write_nifti(p, vol)
+        paths.append((i, str(p)))
+        vols.append(vol)
+    # one corrupt entry must degrade to None, not raise
+    bad = tmp_path / "bad.nii.gz"
+    bad.write_bytes(b"not a nifti")
+    paths.append((99, str(bad)))
+
+    got = dict(VolumePrefetcher(num_workers=3).run(paths, (8, 8, 8)))
+    assert got[99] is None
+    for i in range(5):
+        assert got[i].shape == (8, 8, 8)
+        v = vols[i]
+        ref = ndimage.zoom((v - v.min()) / (v.max() - v.min() + 1e-8),
+                           [o / s for s, o in zip(v.shape, (8, 8, 8))],
+                           order=1)
+        np.testing.assert_allclose(got[i], ref, atol=2e-5)
+
+
+def test_batch_prefetcher():
+    batches = [{"x": np.full((4,), i, np.float32)} for i in range(7)]
+    out = list(BatchPrefetcher(iter(batches), depth=2))
+    assert len(out) == 7
+    assert float(out[3]["x"][0]) == 3.0
+
+
+def test_batch_prefetcher_propagates_errors():
+    def gen():
+        yield {"x": np.zeros(2)}
+        raise RuntimeError("boom")
+
+    it = BatchPrefetcher(gen(), depth=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        for _ in it:
+            pass
