@@ -26,6 +26,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Persistent XLA compilation cache: compiles through the axon remote-compile
+# tunnel cost minutes; cache them across processes.
+import os
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parent / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 CACHE = Path(__file__).resolve().parent / "BENCH_BASELINE_CACHE.json"
 
 N_PATIENTS = 608  # flagship epoch size (348 labeled + 260 unlabeled)

@@ -25,6 +25,7 @@ class ModelRunConfig:
     gate_entropy_weight: float = 0.0
     mofe_lambda: float = 0.0
     include_unlabeled_in_train: bool = False
+    stage1_epochs: int = 0  # expert-pretraining epochs before the main run
     rna_dim: int = 5005
     image_shape: tuple = (64, 64, 32)
     seed: int = 42
@@ -93,7 +94,7 @@ SIMMLM = ModelRunConfig(
     batch_size=8, learning_rate=1e-4, weight_decay=1e-4, optimizer="adam",
     num_epochs=50, n_folds=3, scheduler="plateau", patience=15,
     grad_clip=1.0, modalities=("image", "rnaseq", "clinical"),
-    mofe_lambda=0.1,
+    mofe_lambda=0.1, stage1_epochs=30,
 )
 
 MMSURV = ModelRunConfig(

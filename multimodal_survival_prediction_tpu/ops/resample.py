@@ -26,6 +26,7 @@ from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 
 def linear_interp_matrix(in_size: int, out_size: int) -> np.ndarray:
@@ -79,49 +80,44 @@ def resample_normalize(vol, out_shape=(64, 64, 32)):
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
 
-def _resample_kernel(scalars_ref, vol_ref, rz_ref, ry_ref, rx_ref, out_ref,
-                     acc_ref):
-    """Grid over input z-slices. Per step:
-         s1 = vol[z]        (H,W)  @ rx^T (W,Wo)  -> (H,Wo)
-         s2 = ry (Ho,H)     @ s1               -> (Ho,Wo)
-         acc[zo] += rz[zo, z] * s2   (rank-1 update over output depth)
-       Last step: write acc * scale + shift to out.
-    scalars: [scale, shift] prefetched to SMEM."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
+def _wpass_kernel(vol_ref, rxt_ref, out_ref, mn_ref, mx_ref):
+    """One HBM pass: per (ROWS, W) tile of the (D*H, W)-reshaped volume,
+      * fold the tile's min/max into SMEM accumulators (fused with the read
+        — XLA needs a separate reduction pass for this),
+      * contract the W axis on the MXU: tile @ rx^T -> (ROWS, Wo).
+    Rows past D*H are grid padding; they can't corrupt min/max because the
+    caller pads the reshaped array with edge values, and their matmul output
+    rows are sliced away afterwards."""
+    i = pl.program_id(0)
 
-    z = pl.program_id(0)
-    nz = pl.num_programs(0)
+    tile = vol_ref[...]
+    tmin = jnp.min(tile)
+    tmax = jnp.max(tile)
 
-    @pl.when(z == 0)
+    @pl.when(i == 0)
     def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        mn_ref[0] = tmin
+        mx_ref[0] = tmax
 
-    sl = vol_ref[0]  # (H, W) block for this z
-    # HIGHEST precision: the resample feeds training parity tests, so the
-    # MXU's default bf16 passes are not acceptable here (one-time cost).
-    s1 = jnp.dot(sl, rx_ref[:].T, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    s2 = jnp.dot(ry_ref[:], s1, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    # column z of rz via masked lane reduction — TPU tiling forbids a
-    # (Do, 1) VMEM block, so rz is resident in full and the column is
-    # extracted with an iota mask (Do x D multiply, trivial on the VPU).
-    col = jax.lax.broadcasted_iota(jnp.int32, rz_ref.shape, 1) == z
-    w = jnp.sum(jnp.where(col, rz_ref[:], 0.0), axis=1)  # (Do,)
-    acc_ref[:] += w[:, None, None] * s2[None, :, :]
+    @pl.when(i != 0)
+    def _fold():
+        mn_ref[0] = jnp.minimum(mn_ref[0], tmin)
+        mx_ref[0] = jnp.maximum(mx_ref[0], tmax)
 
-    @pl.when(z == nz - 1)
-    def _epilogue():
-        scale = scalars_ref[0]
-        shift = scalars_ref[1]
-        out_ref[:] = acc_ref[:] * scale + shift
+    out_ref[...] = jnp.dot(tile, rxt_ref[...],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
 
-def resample_normalize_pallas(vol, out_shape=(64, 64, 32)):
-    """Fused Pallas version of :func:`resample_normalize` (TPU hot path)."""
-    from jax.experimental import pallas as pl
+def resample_normalize_pallas(vol, out_shape=(64, 64, 32), rows: int = 1024):
+    """Fused Pallas version of :func:`resample_normalize` (TPU hot path).
+
+    The volume is HBM-bandwidth bound; everything downstream of the first
+    contraction is ~W/Wo smaller. So the Pallas kernel covers exactly the
+    expensive pass — streaming (ROWS, W) tiles through VMEM once, computing
+    min/max AND the W-axis contraction in the same read — and the remaining
+    tiny (D*H,Wo) -> (Do,Ho,Wo) contractions + the normalize epilogue stay in
+    XLA where they fuse to noise."""
     from jax.experimental.pallas import tpu as pltpu
 
     vol = jnp.asarray(vol, jnp.float32)
@@ -129,30 +125,45 @@ def resample_normalize_pallas(vol, out_shape=(64, 64, 32)):
     do, ho, wo = out_shape
     rzn, ryn, rxn = (linear_interp_matrix(i, o)
                      for i, o in zip(vol.shape, out_shape))
-    mn = jnp.min(vol)
-    mx = jnp.max(vol)
-    scale = 1.0 / (mx - mn + 1e-8)
-    scalars = jnp.stack([scale, -mn * scale])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(d,),
+    n_rows = d * h
+    rows = min(rows, n_rows)
+    n_tiles = -(-n_rows // rows)
+    padded = n_tiles * rows
+    flat = vol.reshape(n_rows, w)
+    if padded != n_rows:
+        # pad with edge rows: keeps min/max exact, padded outputs discarded
+        flat = jnp.concatenate(
+            [flat, jnp.broadcast_to(flat[-1:], (padded - n_rows, w))], axis=0)
+
+    tmp, mn, mx = pl.pallas_call(
+        _wpass_kernel,
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, h, w), lambda z, s: (z, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rz full (tiny)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ry full
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rx full
+            pl.BlockSpec((rows, w), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, wo), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((do, ho, wo), jnp.float32)],
-    )
-    return pl.pallas_call(
-        _resample_kernel,
-        out_shape=jax.ShapeDtypeStruct((do, ho, wo), jnp.float32),
-        grid_spec=grid_spec,
+        out_specs=(
+            pl.BlockSpec((rows, wo), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((padded, wo), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ),
         interpret=jax.default_backend() != "tpu",
-    )(scalars, vol, jnp.asarray(rzn), jnp.asarray(ryn), jnp.asarray(rxn))
+    )(flat, jnp.asarray(rxn.T))
+
+    v = tmp[:n_rows].reshape(d, h, wo)
+    v = jnp.einsum("zho,ph->zpo", v, jnp.asarray(ryn), precision="highest")
+    v = jnp.einsum("zpo,qz->qpo", v, jnp.asarray(rzn), precision="highest")
+    scale = 1.0 / (mx[0] - mn[0] + 1e-8)
+    return v * scale - mn[0] * scale
 
 
 def preprocess_volume(vol, out_shape=(64, 64, 32), use_pallas: bool = False):

@@ -91,3 +91,22 @@ def make_model_and_adapters(cfg: ModelRunConfig, rna_dim: int | None = None,
                                   b["mask"])), None
 
     raise ValueError(f"unknown model {name!r}")
+
+
+def simmlm_stage1_adapter():
+    """SimMLM stage-1 (expert pretraining) loss: per-expert Cox losses only,
+    ensemble head disabled (main_scale=0). Reconstructed from the two-stage
+    schedule in results/simmim/cv_results.json hyperparameters
+    (stage1_epochs=30 before the 50 stage-2 epochs)."""
+
+    def hazard_and_aux(out, batch):
+        ensemble, experts, gates = out
+        aux = 0.0
+        for m in range(3):
+            aux = aux + cox_partial_likelihood(
+                experts[:, m], batch["time"], batch["event"],
+                valid=batch["svalid"] * batch["mask"][:, m],
+            )
+        return ensemble, aux / 3.0, 0.0
+
+    return hazard_and_aux

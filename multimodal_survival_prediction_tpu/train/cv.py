@@ -115,6 +115,19 @@ def run_cross_validation(
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
+    # ONE Trainer for all folds: its jitted epoch/eval executables are traced
+    # once and reused across folds (the reference re-creates everything per
+    # fold; recompiling 5x would waste minutes of TPU time for nothing).
+    trainer = Trainer(model, batch_to_inputs, hazard_and_aux, tcfg, mesh=mesh)
+    stage1_trainer = None
+    if cfg.stage1_epochs:
+        from .adapters import simmlm_stage1_adapter
+
+        stage1_trainer = Trainer(model, batch_to_inputs,
+                                 simmlm_stage1_adapter(), tcfg, mesh=mesh)
+    example = {k: v[:cfg.batch_size] for k, v in data.items()}
+    example["valid"] = example["svalid"]
+
     for fold, (tr_idx, va_idx) in enumerate(
             kfold.split(fold_rows), start=1):
         train_rows = fold_rows[tr_idx]
@@ -124,16 +137,25 @@ def run_cross_validation(
             train_survival_size = len(train_rows)
             train_rows = np.concatenate([train_rows, unlabeled_rows])
 
-        trainer = Trainer(model, batch_to_inputs, hazard_and_aux, tcfg,
-                          mesh=mesh)
-        example = {k: v[:cfg.batch_size] for k, v in data.items()}
-        example["valid"] = example["svalid"]
-        state = trainer.init_state(example)
+        state = trainer.init_state(example, fold=fold)
 
         shuffle_rng = np.random.default_rng(cfg.seed + fold)
         dropout_key = jax.random.PRNGKey(cfg.seed * 1000 + fold)
         plateau = ReduceLROnPlateau(lr=cfg.learning_rate)
         lr = cfg.learning_rate
+
+        # stage 1 (SimMLM expert pretraining): no model selection, fixed LR
+        if stage1_trainer is not None:
+            stage1_trainer._extra_collections = trainer._extra_collections
+            for epoch in range(1, cfg.stage1_epochs + 1):
+                dropout_key, ek = jax.random.split(dropout_key)
+                state, s1_loss = stage1_trainer.train_epoch(
+                    state, data, train_rows, shuffle_rng, cfg.learning_rate,
+                    ek)
+                if epoch % 10 == 0 or epoch == 1:
+                    log.info("[%s fold %d] stage1 epoch %d loss %.4f",
+                             name, fold, epoch, s1_loss)
+                total_steps += -(-len(train_rows) // cfg.batch_size)
 
         best_c, best_epoch, best_params, bad = -np.inf, 0, None, 0
         history = []
@@ -198,9 +220,14 @@ def run_cross_validation(
     hyper = {
         "batch_size": cfg.batch_size,
         "learning_rate": cfg.learning_rate,
-        "epochs": num_epochs,
-        "n_folds": cfg.n_folds,
     }
+    if cfg.stage1_epochs:
+        # SimMLM variant keys (reference results/simmim/cv_results.json)
+        hyper["stage1_epochs"] = cfg.stage1_epochs
+        hyper["stage2_epochs"] = num_epochs
+    else:
+        hyper["epochs"] = num_epochs
+    hyper["n_folds"] = cfg.n_folds
     if cfg.gate_entropy_weight:
         hyper["gate_entropy_weight"] = cfg.gate_entropy_weight
     if cfg.mofe_lambda:

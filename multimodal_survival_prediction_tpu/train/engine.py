@@ -130,8 +130,11 @@ class Trainer:
 
     # ---------------- init ----------------
 
-    def init_state(self, example_batch) -> TrainState:
-        rng = jax.random.PRNGKey(self.cfg.seed)
+    def init_state(self, example_batch, fold: int = 0) -> TrainState:
+        # fold-varying init: the reference seeds the global torch RNG once,
+        # so each fold's model starts from different draws — fold_in mirrors
+        # that (identical init across folds would correlate fold scores).
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), fold)
         inputs = self.batch_to_inputs(example_batch)
         variables = self.model.init(
             {"params": rng, "dropout": rng}, *inputs, train=False
@@ -161,8 +164,13 @@ class Trainer:
             variables, *inputs, train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"],
         )
-        hazard, aux = self.hazard_and_aux(out, batch)
-        loss = cox_partial_likelihood(
+        res = self.hazard_and_aux(out, batch)
+        # adapter may return (hazard, aux) or (hazard, aux, main_scale) —
+        # main_scale=0 turns off the primary Cox term (SimMLM stage 1 trains
+        # the experts alone)
+        hazard, aux = res[0], res[1]
+        main_scale = res[2] if len(res) > 2 else 1.0
+        loss = main_scale * cox_partial_likelihood(
             hazard, batch["time"], batch["event"], valid=batch["svalid"],
             ties=self.cfg.ties,
         ) + aux
