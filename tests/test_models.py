@@ -1,0 +1,133 @@
+"""Model fidelity tests: shapes, parameter-count parity with a torch twin of
+the reference architectures, init distributions, checkpoint round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_survival_prediction_tpu.models import (
+    DenseNet121_3D,
+    FlexibleMultimodalModel,
+    ImageOnlyModel,
+    MMsurvNet,
+    MultiModalSurvivalNet,
+    PartialModalityNet,
+    RNASeqSurvivalModel,
+    SimMLMSurvivalNet,
+    SimpleFusionModel,
+)
+from multimodal_survival_prediction_tpu.utils import param_count
+
+B, IMG, RNA = 2, (16, 16, 8), 64
+
+
+def _init(model, *inputs):
+    rng = jax.random.PRNGKey(0)
+    return model.init({"params": rng, "dropout": rng}, *inputs, train=False)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    return dict(
+        image=jnp.asarray(rng.normal(size=(B, *IMG, 1)), jnp.float32),
+        rnaseq=jnp.asarray(rng.normal(size=(B, RNA)), jnp.float32),
+        clinical=jnp.asarray(rng.uniform(size=(B, 1)), jnp.float32),
+        mask=jnp.ones((B, 3), jnp.float32),
+    )
+
+
+def test_densenet121_3d_param_count_matches_torch_twin(batch):
+    """Same architecture spec in torch (benchmarks/torch_reference.py) and
+    flax must produce identical parameter counts."""
+    import torch
+
+    from benchmarks.torch_reference import _densenet121_3d
+
+    tmodel = _densenet121_3d(128)
+    t_params = sum(p.numel() for p in tmodel.parameters())
+    variables = _init(DenseNet121_3D(out_features=128), batch["image"])
+    # torch counts BN affine (weight+bias); running stats are buffers.
+    f_params = param_count(variables["params"])
+    assert f_params == t_params
+
+
+def test_densenet_output_shape(batch):
+    model = DenseNet121_3D(out_features=128)
+    variables = _init(model, batch["image"])
+    out = model.apply(variables, batch["image"], train=False)
+    assert out.shape == (B, 128)
+
+
+@pytest.mark.parametrize("build", [
+    lambda b: (RNASeqSurvivalModel(), (b["rnaseq"],), (B,)),
+    lambda b: (ImageOnlyModel(), (b["image"],), (B,)),
+    lambda b: (SimpleFusionModel(backbone="simple_cnn"),
+               (b["image"], b["rnaseq"]), (B,)),
+    lambda b: (FlexibleMultimodalModel(backbone="simple_cnn"),
+               (b["image"], b["rnaseq"], b["mask"][:, :2]), (B,)),
+    lambda b: (MultiModalSurvivalNet(backbone="simple_cnn"),
+               (b["image"], b["rnaseq"], b["clinical"]), (B,)),
+    lambda b: (MMsurvNet(backbone="simple_cnn"),
+               (b["image"], b["rnaseq"], b["clinical"], b["mask"]), (B,)),
+])
+def test_single_output_models(batch, build):
+    model, inputs, out_shape = build(batch)
+    variables = _init(model, *inputs)
+    out = model.apply(variables, *inputs, train=False)
+    assert out.shape == out_shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_partial_modality_outputs_and_mask_zeroing(batch):
+    model = PartialModalityNet(backbone="simple_cnn")
+    inputs = (batch["image"], batch["rnaseq"], batch["clinical"],
+              batch["mask"])
+    variables = _init(model, *inputs)
+    hazard, gates = model.apply(variables, *inputs, train=False)
+    assert hazard.shape == (B,) and gates.shape == (B, 3)
+    np.testing.assert_allclose(np.asarray(gates).sum(-1), 1.0, atol=1e-5)
+
+
+def test_simmlm_masked_gate(batch):
+    model = SimMLMSurvivalNet(backbone="simple_cnn")
+    mask = jnp.asarray([[1, 1, 0], [0, 1, 1]], jnp.float32)
+    inputs = (batch["image"], batch["rnaseq"], batch["clinical"], mask)
+    variables = _init(model, *inputs)
+    ens, experts, gates = model.apply(variables, *inputs, train=False)
+    g = np.asarray(gates)
+    # masked softmax: gate weight of missing modalities is exactly 0
+    assert g[0, 2] == 0.0 and g[1, 0] == 0.0
+    np.testing.assert_allclose(g.sum(-1), 1.0, atol=1e-5)
+    assert experts.shape == (B, 3)
+
+
+def test_torch_linear_init_bounds():
+    """TorchLinear init must match U(-1/sqrt(fan_in), +1/sqrt(fan_in))."""
+    from multimodal_survival_prediction_tpu.models.layers import TorchLinear
+
+    m = TorchLinear(64)
+    x = jnp.zeros((1, 400))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    k = np.asarray(params["dense"]["kernel"])
+    bound = 1 / np.sqrt(400)
+    assert k.min() >= -bound and k.max() <= bound
+    assert abs(k.mean()) < bound / 10  # roughly centered
+
+
+def test_checkpoint_roundtrip(tmp_path, batch):
+    from multimodal_survival_prediction_tpu.io.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    model = RNASeqSurvivalModel(hidden_dims=(32,))
+    variables = _init(model, batch["rnaseq"])
+    save_checkpoint(tmp_path / "m.msgpack", jax.device_get(variables))
+    zeroed = jax.tree_util.tree_map(np.zeros_like,
+                                    jax.device_get(variables))
+    restored = load_checkpoint(tmp_path / "m.msgpack", zeroed)
+    a = model.apply(variables, batch["rnaseq"], train=False)
+    b = model.apply(restored, batch["rnaseq"], train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
