@@ -56,6 +56,7 @@ def run_cross_validation(
     results_dir="results",
     models_dir="models",
     mesh=None,
+    tensor_parallel: bool = False,
     backbone: str = "densenet121",
     dtype=None,
     use_pallas_resample: bool = False,
@@ -118,13 +119,15 @@ def run_cross_validation(
     # ONE Trainer for all folds: its jitted epoch/eval executables are traced
     # once and reused across folds (the reference re-creates everything per
     # fold; recompiling 5x would waste minutes of TPU time for nothing).
-    trainer = Trainer(model, batch_to_inputs, hazard_and_aux, tcfg, mesh=mesh)
+    trainer = Trainer(model, batch_to_inputs, hazard_and_aux, tcfg, mesh=mesh,
+                      tensor_parallel=tensor_parallel)
     stage1_trainer = None
     if cfg.stage1_epochs:
         from .adapters import simmlm_stage1_adapter
 
         stage1_trainer = Trainer(model, batch_to_inputs,
-                                 simmlm_stage1_adapter(), tcfg, mesh=mesh)
+                                 simmlm_stage1_adapter(), tcfg, mesh=mesh,
+                                 tensor_parallel=tensor_parallel)
     example = {k: v[:cfg.batch_size] for k, v in data.items()}
     example["valid"] = example["svalid"]
 

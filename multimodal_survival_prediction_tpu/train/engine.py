@@ -116,6 +116,7 @@ class Trainer:
         cfg: TrainConfig = TrainConfig(),
         mesh=None,
         batch_axis: str = "data",
+        tensor_parallel: bool = False,
     ):
         self.model = model
         self.cfg = cfg
@@ -124,6 +125,11 @@ class Trainer:
         self.tx = make_optimizer(cfg)
         self.mesh = mesh
         self.batch_axis = batch_axis
+        # tensor_parallel: shard wide Dense kernels over the mesh's 'model'
+        # axis (Megatron column pattern); GSPMD propagates + inserts the
+        # collectives. Requires a mesh with a 'model' axis of size > 1.
+        self.tensor_parallel = tensor_parallel and mesh is not None and (
+            dict(mesh.shape).get("model", 1) > 1)
         self._extra_collections = {}
         self._train_epoch_fn = None
         self._eval_fn = None
@@ -145,6 +151,22 @@ class Trainer:
             k: v for k, v in variables.items()
             if k not in ("params", "batch_stats")
         }
+        if self.mesh is not None and self.tensor_parallel:
+            from ..parallel.sharding import param_shardings, replicate
+
+            p_shard = param_shardings(params, self.mesh, tensor_parallel=True)
+            params = jax.device_put(params, p_shard)
+            # jit the optimizer init on the sharded params: GSPMD propagates
+            # the param shardings onto the Adam moments automatically.
+            with self.mesh:
+                opt_state = jax.jit(self.tx.init)(params)
+            return TrainState(
+                params=params,
+                batch_stats=replicate(batch_stats, self.mesh),
+                opt_state=opt_state,
+                step=replicate(jnp.zeros((), jnp.int32), self.mesh),
+            )
+
         opt_state = self.tx.init(params)
         state = TrainState(params=params, batch_stats=batch_stats,
                            opt_state=opt_state, step=jnp.zeros((), jnp.int32))

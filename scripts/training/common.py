@@ -36,6 +36,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--synthetic-patients", type=int, default=64)
     p.add_argument("--mesh", type=int, default=0,
                    help="use an N-device data-parallel mesh (0 = single device)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel factor within the mesh (wide RNA "
+                        "GEMMs column-sharded over the 'model' axis)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype for encoders")
     p.add_argument("--pallas-resample", action="store_true")
@@ -86,13 +89,15 @@ def run_training(args, cfg):
         if not rnaseq_csv.exists():
             rnaseq_csv = None
 
-    mesh = make_mesh(args.mesh) if args.mesh else None
+    mesh = (make_mesh(args.mesh, model_parallel=args.tp)
+            if args.mesh else None)
     dtype = jnp.bfloat16 if args.bf16 else None
 
     payload, outcomes = run_cross_validation(
         cfg, table, rnaseq_csv=rnaseq_csv,
         results_dir=args.results_dir, models_dir=args.models_dir,
-        mesh=mesh, backbone=args.backbone, dtype=dtype,
+        mesh=mesh, tensor_parallel=args.tp > 1,
+        backbone=args.backbone, dtype=dtype,
         use_pallas_resample=args.pallas_resample,
         profile_dir=args.profile_dir,
     )

@@ -124,3 +124,14 @@ def test_seed42_splits_are_sklearn_kfold(cohort, tmp_path):
     for fr, (tr, va) in zip(payload["fold_results"], splits):
         assert fr["train_size"] == len(tr)
         assert fr["val_size"] == len(va)
+
+
+def test_rnaseq_only_tensor_parallel(cohort, tmp_path):
+    """DP x TP mesh (4x2): wide RNA kernels column-sharded over 'model'."""
+    from multimodal_survival_prediction_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, model_parallel=2)
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2, batch_size=16)
+    payload, _ = _run(cfg, cohort, tmp_path, num_epochs=1, mesh=mesh,
+                      tensor_parallel=True)
+    assert np.isfinite(payload["c_index_mean"])
