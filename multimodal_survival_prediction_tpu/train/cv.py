@@ -37,6 +37,13 @@ from .schedules import ReduceLROnPlateau, cosine_annealing
 log = logging.getLogger(__name__)
 
 
+def _state_dict(state):
+    """TrainState -> plain dict (flax msgpack can't serialize the custom
+    pytree dataclass directly)."""
+    return {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step}
+
+
 @dataclass
 class FoldOutcome:
     fold: int
@@ -63,6 +70,8 @@ def run_cross_validation(
     num_epochs: int | None = None,
     write_outputs: bool = True,
     profile_dir: str | None = None,
+    resume: bool = False,
+    checkpoint_every: int = 10,
 ):
     """Full CV run for one model config. Returns (payload, fold_outcomes)."""
     name = cfg.name
@@ -147,6 +156,55 @@ def run_cross_validation(
         plateau = ReduceLROnPlateau(lr=cfg.learning_rate)
         lr = cfg.learning_rate
 
+        # ---- resume (full-state, a capability the reference lacks:
+        #      SURVEY §5 — it only keeps best weights, no optimizer/RNG) ----
+        resume_dir = Path(models_dir) / name / f"fold_{fold}_resume"
+        start_epoch = 1
+        resumed_meta = None
+        if resume and (resume_dir / "progress.json").exists():
+            import json as _json
+
+            from ..io.checkpoint import load_checkpoint
+
+            resumed_meta = _json.loads(
+                (resume_dir / "progress.json").read_text())
+            from .engine import TrainState as _TS
+
+            sd = load_checkpoint(resume_dir / "state.msgpack",
+                                 _state_dict(jax.device_get(state)))
+            state = _TS(**sd)
+            if mesh is not None:
+                from ..parallel.sharding import replicate
+
+                state = replicate(state, mesh)
+            shuffle_rng = np.random.default_rng()
+            shuffle_rng.bit_generator.state = resumed_meta["shuffle_rng"]
+            dropout_key = jax.numpy.asarray(
+                np.asarray(resumed_meta["dropout_key"], np.uint32))
+            plateau.lr = resumed_meta["lr"]
+            plateau.best = resumed_meta["plateau_best"]
+            plateau.num_bad = resumed_meta["plateau_num_bad"]
+            start_epoch = resumed_meta["epoch"] + 1
+            log.info("[%s fold %d] resumed at epoch %d", name, fold,
+                     start_epoch)
+
+        def save_resume(epoch, best_c, best_epoch, bad, history):
+            import json as _json
+
+            save_checkpoint(resume_dir / "state.msgpack",
+                            _state_dict(jax.device_get(state)))
+            if best_params is not None:
+                save_checkpoint(resume_dir / "best.msgpack", best_params)
+            (resume_dir / "progress.json").write_text(_json.dumps({
+                "epoch": epoch, "lr": lr,
+                "plateau_best": plateau.best,
+                "plateau_num_bad": plateau.num_bad,
+                "best_c": best_c, "best_epoch": best_epoch, "bad": bad,
+                "shuffle_rng": shuffle_rng.bit_generator.state,
+                "dropout_key": np.asarray(dropout_key).tolist(),
+                "history": history,
+            }, default=str))
+
         # stage 1 (SimMLM expert pretraining): no model selection, fixed LR
         if stage1_trainer is not None:
             stage1_trainer._extra_collections = trainer._extra_collections
@@ -163,7 +221,20 @@ def run_cross_validation(
         best_c, best_epoch, best_params, bad = -np.inf, 0, None, 0
         history = []
         epochs_run = 0
-        for epoch in range(1, num_epochs + 1):
+        if resumed_meta is not None:
+            best_c = resumed_meta["best_c"]
+            best_epoch = resumed_meta["best_epoch"]
+            bad = resumed_meta["bad"]
+            history = resumed_meta["history"]
+            epochs_run = resumed_meta["epoch"]
+            if (resume_dir / "best.msgpack").exists():
+                from ..io.checkpoint import load_checkpoint
+
+                best_params = load_checkpoint(
+                    resume_dir / "best.msgpack",
+                    jax.device_get({"params": state.params,
+                                    "batch_stats": state.batch_stats}))
+        for epoch in range(start_epoch, num_epochs + 1):
             if cfg.scheduler == "cosine":
                 lr = cosine_annealing(cfg.learning_rate, epoch - 1, num_epochs)
             dropout_key, ek = jax.random.split(dropout_key)
@@ -192,6 +263,8 @@ def run_cross_validation(
             if epoch % 10 == 0 or epoch == 1:
                 log.info("[%s fold %d] epoch %d loss %.4f val C %.4f",
                          name, fold, epoch, tr_loss, val_c)
+            if resume and checkpoint_every and epoch % checkpoint_every == 0:
+                save_resume(epoch, best_c, best_epoch, bad, history)
 
         if write_outputs and best_params is not None:
             save_checkpoint(

@@ -43,6 +43,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="bfloat16 compute dtype for encoders")
     p.add_argument("--pallas-resample", action="store_true")
     p.add_argument("--profile-dir", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="checkpoint full train state periodically and resume "
+                        "an interrupted CV run")
+    p.add_argument("--checkpoint-every", type=int, default=10)
     return p
 
 
@@ -100,6 +104,7 @@ def run_training(args, cfg):
         backbone=args.backbone, dtype=dtype,
         use_pallas_resample=args.pallas_resample,
         profile_dir=args.profile_dir,
+        resume=args.resume, checkpoint_every=args.checkpoint_every,
     )
     print(f"\n{cfg.display_name}: C-index "
           f"{payload['c_index_mean']:.4f} ± {payload['c_index_std']:.4f}")

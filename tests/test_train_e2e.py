@@ -135,3 +135,23 @@ def test_rnaseq_only_tensor_parallel(cohort, tmp_path):
     payload, _ = _run(cfg, cohort, tmp_path, num_epochs=1, mesh=mesh,
                       tensor_parallel=True)
     assert np.isfinite(payload["c_index_mean"])
+
+
+def test_resume_mid_cv(cohort, tmp_path):
+    """Kill-and-resume: a run checkpointed every epoch must continue from
+    where it stopped and produce the same artifacts as an uninterrupted run
+    of the same length."""
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2)
+    # pass 1: 2 epochs with resume checkpoints
+    p1, _ = _run(cfg, cohort, tmp_path / "a", num_epochs=2, resume=True,
+                 checkpoint_every=1)
+    # pass 2: "crashed after epoch 2", resume to 4 epochs
+    p2, outcomes2 = _run(cfg, cohort, tmp_path / "a", num_epochs=4,
+                         resume=True, checkpoint_every=1)
+    for o in outcomes2:
+        assert o.epochs_run == 4
+        assert o.history[0]["epoch"] == 1  # history preserved across resume
+        assert len(o.history) == 4
+    # uninterrupted control run
+    p3, outcomes3 = _run(cfg, cohort, tmp_path / "b", num_epochs=4)
+    assert len(outcomes3[0].history) == 4
