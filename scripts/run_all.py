@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Train every model family end-to-end and produce the full comparison —
+the whole reference training+analysis phase as one command.
+
+    python scripts/run_all.py --synthetic --data-root /tmp/cohort \
+        --epochs 5 --models rnaseq_only,image_only,partial_modality
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+sys.path.insert(0, str(REPO_ROOT / "scripts" / "training"))
+
+from common import base_parser, run_training  # noqa: E402
+
+DEFAULT_MODELS = ("rnaseq_only", "image_only", "simple_fusion",
+                  "flexible_multimodal", "final", "partial_modality",
+                  "simmim", "mmsurv")
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--models", default=",".join(DEFAULT_MODELS))
+    args = p.parse_args()
+
+    from multimodal_survival_prediction_tpu.analysis import (
+        collect_results,
+        export_results_json,
+        generate_summary_md,
+    )
+    from multimodal_survival_prediction_tpu.config import ALL_CONFIGS
+
+    for name in args.models.split(","):
+        name = name.strip()
+        cfg = ALL_CONFIGS[name]
+        print(f"\n{'=' * 60}\nTraining {cfg.display_name}\n{'=' * 60}")
+        try:
+            run_training(args, cfg)
+        except Exception as e:
+            print(f"{name} FAILED: {e}")
+
+    df = collect_results(args.results_dir)
+    if len(df):
+        out = Path(args.results_dir) / "final_comparison"
+        md = generate_summary_md(df, None, out / "SUMMARY.md")
+        export_results_json(df, None, out / "results.json")
+        print(md)
+
+
+if __name__ == "__main__":
+    main()
