@@ -167,11 +167,16 @@ def main():
     print(f"[bench] train fp32: {steps_per_sec} steps/s", file=sys.stderr)
     vols_per_sec = _try("preprocess", measure_preprocess_vols_per_sec)
     print(f"[bench] preprocess: {vols_per_sec} vols/s", file=sys.stderr)
-    import jax.numpy as jnp
+    bf16_steps = None
+    if os.environ.get("BENCH_BF16") == "1":
+        # opt-in: a second distinct program is another multi-minute remote
+        # compile on the axon tunnel (the persistent cache can't capture
+        # remote-compiled executables)
+        import jax.numpy as jnp
 
-    bf16_steps = _try("train_bf16", measure_train_steps_per_sec,
-                      dtype=jnp.bfloat16, timed_steps=30)
-    print(f"[bench] train bf16: {bf16_steps} steps/s", file=sys.stderr)
+        bf16_steps = _try("train_bf16", measure_train_steps_per_sec,
+                          dtype=jnp.bfloat16, timed_steps=30)
+        print(f"[bench] train bf16: {bf16_steps} steps/s", file=sys.stderr)
     if steps_per_sec is None:
         print(json.dumps({
             "metric": "partial_modality_epoch_throughput", "value": 0.0,
