@@ -105,10 +105,20 @@ class DenseNet121_3D(nn.Module):
     block_config: Sequence[int] = (6, 12, 24, 16)
     bn_size: int = 4
     dropout: float = 0.0
+    remat: bool = False  # rematerialize dense layers: trade FLOPs for HBM
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        # Each spatial dim is halved by conv0, the pool, and every transition
+        # (2 + len(blocks) - 1 halvings). Dims that bottom out at zero produce
+        # silent NaNs (empty mean); fail loudly instead — exactly like
+        # torch/MONAI would crash on the same undersized input.
+        min_dim = 2 ** (2 + len(self.block_config) - 1)
+        if any(s < min_dim for s in x.shape[1:4]):
+            raise ValueError(
+                f"DenseNet121_3D needs spatial dims >= {min_dim}, got "
+                f"{x.shape[1:4]} (use backbone='simple_cnn' for tiny inputs)")
         x = _Conv(self.init_features, 7, stride=2, dtype=self.dtype,
                   name="conv0")(x)
         x = BatchNorm(use_running_average=not train, dtype=self.dtype,
@@ -116,10 +126,15 @@ class DenseNet121_3D(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding=[(1, 1)] * 3)
 
+        # jax.checkpoint over each dense layer: activations of the concat
+        # trunk dominate memory at large batch; remat re-computes them in the
+        # backward pass so batch (and thus MXU utilization) can scale.
+        layer_cls = (nn.remat(DenseLayer, static_argnums=())
+                     if self.remat else DenseLayer)
         channels = self.init_features
         for bi, num_layers in enumerate(self.block_config):
             for li in range(num_layers):
-                x = DenseLayer(
+                x = layer_cls(
                     self.growth_rate, self.bn_size, self.dropout, train,
                     dtype=self.dtype, name=f"block{bi}_layer{li}",
                 )(x)

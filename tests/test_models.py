@@ -47,17 +47,49 @@ def test_densenet121_3d_param_count_matches_torch_twin(batch):
 
     tmodel = _densenet121_3d(128)
     t_params = sum(p.numel() for p in tmodel.parameters())
-    variables = _init(DenseNet121_3D(out_features=128), batch["image"])
+    img = jnp.zeros((1, 32, 32, 32, 1), jnp.float32)
+    variables = _init(DenseNet121_3D(out_features=128), img)
     # torch counts BN affine (weight+bias); running stats are buffers.
     f_params = param_count(variables["params"])
     assert f_params == t_params
 
 
-def test_densenet_output_shape(batch):
+def test_densenet_output_shape():
+    img = jnp.zeros((B, 32, 32, 32, 1), jnp.float32)
     model = DenseNet121_3D(out_features=128)
-    variables = _init(model, batch["image"])
-    out = model.apply(variables, batch["image"], train=False)
+    variables = _init(model, img)
+    out = model.apply(variables, img, train=False)
     assert out.shape == (B, 128)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_densenet_rejects_undersized_input(batch):
+    with pytest.raises(ValueError, match="spatial dims"):
+        _init(DenseNet121_3D(out_features=8), batch["image"])
+
+
+def test_densenet_remat_matches(batch):
+    import jax
+
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(2, 32, 32, 16, 1)), jnp.float32)
+    grads = []
+    for remat in (False, True):
+        m = DenseNet121_3D(out_features=8, block_config=(2, 2),
+                           init_features=8, growth_rate=4, remat=remat)
+        v = _init(m, x)
+
+        def loss(p):
+            out, _ = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"])
+            return (out ** 2).sum()
+
+        g = jax.grad(loss)(v["params"])
+        grads.append(float(jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))
+    assert grads[0] == pytest.approx(grads[1], rel=1e-5)
 
 
 @pytest.mark.parametrize("build", [
