@@ -79,7 +79,7 @@ def test_partial_modality_e2e(cohort, tmp_path):
 
 def test_simmlm_e2e(cohort, tmp_path):
     cfg = SIMMLM.with_overrides(n_folds=2, image_shape=SMALL_IMG,
-                                batch_size=4)
+                                batch_size=4, stage1_epochs=2)
     payload, _ = _run(cfg, cohort, tmp_path, num_epochs=1)
     assert payload["hyperparameters"]["mofe_lambda"] == 0.1
 
