@@ -109,18 +109,11 @@ def _wpass_kernel(vol_ref, rxt_ref, out_ref, mn_ref, mx_ref):
                            precision=jax.lax.Precision.HIGHEST)
 
 
-def resample_normalize_pallas(vol, out_shape=(64, 64, 32), rows: int = 1024):
-    """Fused Pallas version of :func:`resample_normalize` (TPU hot path).
-
-    The volume is HBM-bandwidth bound; everything downstream of the first
-    contraction is ~W/Wo smaller. So the Pallas kernel covers exactly the
-    expensive pass — streaming (ROWS, W) tiles through VMEM once, computing
-    min/max AND the W-axis contraction in the same read — and the remaining
-    tiny (D*H,Wo) -> (Do,Ho,Wo) contractions + the normalize epilogue stay in
-    XLA where they fuse to noise."""
+@partial(jax.jit, static_argnames=("out_shape", "rows"))
+def _resample_normalize_pallas(vol, out_shape, rows):
     from jax.experimental.pallas import tpu as pltpu
 
-    vol = jnp.asarray(vol, jnp.float32)
+    vol = vol.astype(jnp.float32)
     d, h, w = vol.shape
     do, ho, wo = out_shape
     rzn, ryn, rxn = (linear_interp_matrix(i, o)
@@ -164,6 +157,21 @@ def resample_normalize_pallas(vol, out_shape=(64, 64, 32), rows: int = 1024):
     v = jnp.einsum("zpo,qz->qpo", v, jnp.asarray(rzn), precision="highest")
     scale = 1.0 / (mx[0] - mn[0] + 1e-8)
     return v * scale - mn[0] * scale
+
+
+def resample_normalize_pallas(vol, out_shape=(64, 64, 32), rows: int = 1024):
+    """Fused Pallas version of :func:`resample_normalize` (TPU hot path).
+
+    The volume is HBM-bandwidth bound; everything downstream of the first
+    contraction is ~W/Wo smaller. So the Pallas kernel covers exactly the
+    expensive pass — streaming (ROWS, W) tiles through VMEM once, computing
+    min/max AND the W-axis contraction in the same read — and the remaining
+    tiny contractions + the normalize epilogue stay in XLA where they fuse to
+    noise. The host array is shipped in its NATIVE dtype (CTs are int16 — half
+    the host->HBM bytes) and converted on device.
+    """
+    return _resample_normalize_pallas(jnp.asarray(vol), tuple(out_shape),
+                                      int(rows))
 
 
 def preprocess_volume(vol, out_shape=(64, 64, 32), use_pallas: bool = False):

@@ -87,8 +87,15 @@ def run_training(args, cfg):
             root, SyntheticCohortSpec(n_patients=args.synthetic_patients))
         rnaseq_csv = paths["rnaseq_csv"]
     else:
-        table = load_matching_table(
-            root / "data" / "processed" / "full_matching_table.csv")
+        table_csv = root / "data" / "processed" / "full_matching_table.csv"
+        if cfg.name == "final":
+            # parity: final_multimodal reads the 109-cohort table while every
+            # other trainer reads the 608-cohort one (reference
+            # final_multimodal.py:205, SURVEY §2.13)
+            mm = root / "data" / "processed" / "multimodal_matching_table.csv"
+            if mm.exists():
+                table_csv = mm
+        table = load_matching_table(table_csv)
         rnaseq_csv = root / "data" / "processed" / "rnaseq_normalized_mapped.csv"
         if not rnaseq_csv.exists():
             rnaseq_csv = None
