@@ -87,14 +87,15 @@ class ImageEncoder(nn.Module):
 
     out_features: int = 128
     backbone: str = "densenet121"  # or "simple_cnn"
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         if self.backbone == "densenet121":
             return DenseNet121_3D(
-                out_features=self.out_features, dtype=self.dtype,
-                name="densenet",
+                out_features=self.out_features, remat=self.remat,
+                dtype=self.dtype, name="densenet",
             )(x, train=train)
         return SimpleCNN3D(
             out_features=self.out_features, dtype=self.dtype, name="cnn",

@@ -40,13 +40,14 @@ class SimpleFusionModel(nn.Module):
     img_feature_dim: int = 128
     rna_feature_dim: int = 256
     backbone: str = "densenet121"
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, image, rnaseq, *, train: bool = False):
         rna_feat = RNAEncoderDeep(self.rna_feature_dim, dtype=self.dtype,
                                   name="rna_encoder")(rnaseq, train=train)
-        img_feat = ImageEncoder(self.img_feature_dim, backbone=self.backbone,
+        img_feat = ImageEncoder(self.img_feature_dim, backbone=self.backbone, remat=self.remat,
                                 dtype=self.dtype, name="image_encoder")(
             image, train=train)
         fused = jnp.concatenate([rna_feat, img_feat], axis=-1)
@@ -61,11 +62,12 @@ class FlexibleMultimodalModel(nn.Module):
     img_feature_dim: int = 128
     rna_feature_dim: int = 256
     backbone: str = "densenet121"
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, image, rnaseq, mask, *, train: bool = False):
-        img_feat = ImageEncoder(self.img_feature_dim, backbone=self.backbone,
+        img_feat = ImageEncoder(self.img_feature_dim, backbone=self.backbone, remat=self.remat,
                                 dtype=self.dtype, name="image_encoder")(
             image, train=train)
         rna_feat = RNAEncoderDeep(self.rna_feature_dim, dtype=self.dtype,
@@ -92,11 +94,12 @@ class MultiModalSurvivalNet(nn.Module):
     cox head (reference final_multimodal.py:59-150). No masking/gating."""
 
     backbone: str = "densenet121"
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, ct, rna, clinical, *, train: bool = False):
-        ct_feat = ImageEncoder(128, backbone=self.backbone, dtype=self.dtype,
+        ct_feat = ImageEncoder(128, backbone=self.backbone, remat=self.remat, dtype=self.dtype,
                                name="ct_encoder")(ct, train=train)
         rna_feat = RNAEncoderCompact(128, dtype=self.dtype,
                                      name="rna_encoder")(rna, train=train)

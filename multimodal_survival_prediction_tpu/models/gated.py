@@ -18,6 +18,7 @@ from .layers import MLPBlock, TorchLinear
 
 class PartialModalityNet(nn.Module):
     backbone: str = "densenet121"
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -25,7 +26,7 @@ class PartialModalityNet(nn.Module):
         # Encoders run on the (possibly zero) inputs FIRST; masking is applied
         # to features afterwards — this ordering matters for BatchNorm
         # statistics and is reproduced deliberately (SURVEY §7 hard parts).
-        ct_feat = ImageEncoder(128, backbone=self.backbone, dtype=self.dtype,
+        ct_feat = ImageEncoder(128, backbone=self.backbone, remat=self.remat, dtype=self.dtype,
                                name="ct_encoder")(ct, train=train)
         rna_feat = RNAEncoderCompact(128, dtype=self.dtype,
                                      name="rna_encoder")(rna, train=train)

@@ -91,11 +91,12 @@ class MMsurvNet(nn.Module):
     num_layers: int = 2
     dropout: float = 0.5
     backbone: str = "densenet121"
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, image, rnaseq, clinical, mask, *, train: bool = False):
-        img = ImageEncoder(self.token_dim, backbone=self.backbone,
+        img = ImageEncoder(self.token_dim, backbone=self.backbone, remat=self.remat,
                            dtype=self.dtype, name="image_encoder")(
             image, train=train)
         rna = RNAEncoderCompact(self.token_dim, dtype=self.dtype,

@@ -64,11 +64,12 @@ class GatingNetwork(nn.Module):
 class SimMLMSurvivalNet(nn.Module):
     feature_dim: int = 128
     backbone: str = "densenet121"
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, image, rnaseq, clinical, mask, *, train: bool = False):
-        feat_img = ImageEncoder(self.feature_dim, backbone=self.backbone,
+        feat_img = ImageEncoder(self.feature_dim, backbone=self.backbone, remat=self.remat,
                                 dtype=self.dtype, name="expert_image")(
             image, train=train)
         feat_rna = _RNAExpert(self.feature_dim, dtype=self.dtype,

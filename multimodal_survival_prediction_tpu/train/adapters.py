@@ -22,9 +22,10 @@ from ..ops.cox import cox_partial_likelihood, gate_entropy_loss
 
 def make_model_and_adapters(cfg: ModelRunConfig, rna_dim: int | None = None,
                             backbone: str = "densenet121",
-                            dtype=None):
+                            dtype=None, remat: bool = False):
     """Returns (model, batch_to_inputs, hazard_and_aux)."""
     name = cfg.name
+    img_kw = dict(backbone=backbone, dtype=dtype, remat=remat)
 
     if name == "rnaseq_only":
         model = RNASeqSurvivalModel(dtype=dtype)
@@ -35,22 +36,22 @@ def make_model_and_adapters(cfg: ModelRunConfig, rna_dim: int | None = None,
         return model, (lambda b: (b["image"],)), None
 
     if name == "simple_fusion":
-        model = SimpleFusionModel(backbone=backbone, dtype=dtype)
+        model = SimpleFusionModel(**img_kw)
         return model, (lambda b: (b["image"], b["rnaseq"])), None
 
     if name == "flexible_multimodal":
-        model = FlexibleMultimodalModel(backbone=backbone, dtype=dtype)
+        model = FlexibleMultimodalModel(**img_kw)
         # mask: [has_image, has_rnaseq] (reference flexible_multimodal.py:142)
         return model, (lambda b: (b["image"], b["rnaseq"],
                                   b["mask"][:, :2])), None
 
     if name == "final":
-        model = MultiModalSurvivalNet(backbone=backbone, dtype=dtype)
+        model = MultiModalSurvivalNet(**img_kw)
         return model, (lambda b: (b["image"], b["rnaseq"],
                                   b["clinical"])), None
 
     if name == "partial_modality":
-        model = PartialModalityNet(backbone=backbone, dtype=dtype)
+        model = PartialModalityNet(**img_kw)
         w = cfg.gate_entropy_weight
 
         def hazard_and_aux(out, batch):
@@ -64,7 +65,7 @@ def make_model_and_adapters(cfg: ModelRunConfig, rna_dim: int | None = None,
                                   b["mask"])), hazard_and_aux
 
     if name == "simmim":
-        model = SimMLMSurvivalNet(backbone=backbone, dtype=dtype)
+        model = SimMLMSurvivalNet(**img_kw)
         lam = cfg.mofe_lambda
 
         def hazard_and_aux(out, batch):
@@ -86,7 +87,7 @@ def make_model_and_adapters(cfg: ModelRunConfig, rna_dim: int | None = None,
                                   b["mask"])), hazard_and_aux
 
     if name == "mmsurv":
-        model = MMsurvNet(backbone=backbone, dtype=dtype)
+        model = MMsurvNet(**img_kw)
         return model, (lambda b: (b["image"], b["rnaseq"], b["clinical"],
                                   b["mask"])), None
 

@@ -66,6 +66,7 @@ def run_cross_validation(
     tensor_parallel: bool = False,
     backbone: str = "densenet121",
     dtype=None,
+    remat: bool = False,
     use_pallas_resample: bool = False,
     num_epochs: int | None = None,
     write_outputs: bool = True,
@@ -105,7 +106,7 @@ def run_cross_validation(
                  else np.arange(arrays.n))
 
     model, batch_to_inputs, hazard_and_aux = make_model_and_adapters(
-        cfg, rna_dim=rna_dim, backbone=backbone, dtype=dtype)
+        cfg, rna_dim=rna_dim, backbone=backbone, dtype=dtype, remat=remat)
     tcfg = TrainConfig(
         batch_size=cfg.batch_size,
         learning_rate=cfg.learning_rate,

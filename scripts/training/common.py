@@ -39,6 +39,8 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel factor within the mesh (wide RNA "
                         "GEMMs column-sharded over the 'model' axis)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize DenseNet layers (fit larger batches)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype for encoders")
     p.add_argument("--pallas-resample", action="store_true")
@@ -108,7 +110,7 @@ def run_training(args, cfg):
         cfg, table, rnaseq_csv=rnaseq_csv,
         results_dir=args.results_dir, models_dir=args.models_dir,
         mesh=mesh, tensor_parallel=args.tp > 1,
-        backbone=args.backbone, dtype=dtype,
+        backbone=args.backbone, dtype=dtype, remat=args.remat,
         use_pallas_resample=args.pallas_resample,
         profile_dir=args.profile_dir,
         resume=args.resume, checkpoint_every=args.checkpoint_every,
