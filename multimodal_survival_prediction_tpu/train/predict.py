@@ -1,0 +1,106 @@
+"""Inference: load a fold checkpoint, score a cohort, emit predictions.
+
+The reference documents this flow (reference README.md:386-399: rebuild the
+model, load_state_dict, forward in eval mode) but ships no working code for
+it (its generate_km_curves.py is a stub). This is the library version, used
+by scripts/analysis/generate_km_curves.py and usable standalone:
+
+    pred = predict_risk(cfg, "models/partial_modality/fold_1_best.msgpack",
+                        table, rnaseq_csv)
+    pred.to_csv("results/test_predictions.csv", index=False)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pandas as pd
+
+from ..config import ModelRunConfig
+from ..data.datasets import (
+    build_cohort_arrays,
+    load_rnaseq_matrix,
+    select_cohort,
+)
+from ..io.checkpoint import load_checkpoint
+from .adapters import make_model_and_adapters
+
+
+def predict_risk(
+    cfg: ModelRunConfig,
+    checkpoint_path,
+    table: pd.DataFrame,
+    rnaseq_csv=None,
+    backbone: str = "densenet121",
+    labeled_only: bool = True,
+    batch_size: int = 64,
+) -> pd.DataFrame:
+    """Score a cohort with a trained fold checkpoint.
+
+    Returns columns (patient_id, risk_score, survival_time, event) — the
+    test-predictions contract consumed by scripts/analysis/evaluate_model.py
+    (reference evaluate_model.py expects exactly these)."""
+    cohort = select_cohort(table, cfg.name)
+    rnaseq_df = None
+    if "rnaseq" in cfg.modalities and rnaseq_csv is not None and Path(
+            rnaseq_csv).exists():
+        rnaseq_df = load_rnaseq_matrix(rnaseq_csv)
+        if cfg.name == "rnaseq_only":
+            cohort = cohort[cohort.patient_id.isin(set(rnaseq_df.index))]
+
+    arrays = build_cohort_arrays(
+        cohort, rnaseq_df, with_image="image" in cfg.modalities,
+        image_shape=cfg.image_shape)
+
+    model, batch_to_inputs, hazard_and_aux = make_model_and_adapters(
+        cfg, backbone=backbone)
+    hazard_and_aux = hazard_and_aux or (lambda out, b: (out, 0.0))
+
+    data = {k: np.asarray(v) for k, v in arrays.arrays.items()}
+    n = arrays.n
+
+    # abstract init for checkpoint structure, then restore real weights
+    ex = {k: jax.numpy.asarray(v[:1]) for k, v in data.items()}
+    ex["valid"] = ex["svalid"]
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(0)},
+            *batch_to_inputs(ex), train=False))
+    target = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes)
+    restored = load_checkpoint(checkpoint_path, {
+        "params": target["params"],
+        "batch_stats": target.get("batch_stats", {})})
+    variables = {"params": restored["params"],
+                 "batch_stats": restored["batch_stats"],
+                 **{k: v for k, v in target.items()
+                    if k not in ("params", "batch_stats")}}
+
+    @jax.jit
+    def score(batch):
+        out = model.apply(variables, *batch_to_inputs(batch), train=False)
+        hazard, _ = hazard_and_aux(out, batch)
+        return hazard
+
+    hazards = np.empty(n, np.float32)
+    for start in range(0, n, batch_size):
+        end = min(start + batch_size, n)
+        idx = np.arange(start, end)
+        # pad to batch_size for a single compiled shape
+        pad = np.concatenate([idx, np.full(batch_size - len(idx), idx[-1])])
+        batch = {k: jax.numpy.asarray(v[pad]) for k, v in data.items()}
+        batch["valid"] = batch["svalid"]
+        hazards[start:end] = np.asarray(score(batch))[: len(idx)]
+
+    pred = pd.DataFrame({
+        "patient_id": arrays.patient_ids,
+        "risk_score": hazards,
+        "survival_time": data["time"],
+        "event": data["event"],
+    })
+    if labeled_only:
+        pred = pred[data["svalid"] > 0].reset_index(drop=True)
+    return pred

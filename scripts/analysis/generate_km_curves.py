@@ -4,9 +4,10 @@
 The reference's scripts/analysis/generate_km_curves.py holds model
 definitions but its main body is a stub ("additional implementation needed",
 reference :377-384). This version actually works: it rebuilds the requested
-model, loads a fold's best checkpoint (models/<name>/fold_K_best.msgpack),
-scores the labeled cohort, median-splits into risk groups, and renders KM
-curves with a log-rank test."""
+model, loads a fold's best checkpoint, scores the labeled cohort
+(train.predict.predict_risk), median-splits into risk groups, renders KM
+curves with a log-rank test, and writes the predictions CSV that
+evaluate_model.py consumes."""
 
 from common import base_parser
 
@@ -23,25 +24,11 @@ def main():
 
     from pathlib import Path
 
-    import jax
-    import numpy as np
-    import pandas as pd
-
     from multimodal_survival_prediction_tpu.analysis.evaluate import km_groups
     from multimodal_survival_prediction_tpu.analysis.figures import km_plot
     from multimodal_survival_prediction_tpu.config import ALL_CONFIGS
     from multimodal_survival_prediction_tpu.data import load_matching_table
-    from multimodal_survival_prediction_tpu.data.datasets import (
-        build_cohort_arrays,
-        load_rnaseq_matrix,
-        select_cohort,
-    )
-    from multimodal_survival_prediction_tpu.io.checkpoint import (
-        load_checkpoint,
-    )
-    from multimodal_survival_prediction_tpu.train.adapters import (
-        make_model_and_adapters,
-    )
+    from multimodal_survival_prediction_tpu.train.predict import predict_risk
 
     cfg = ALL_CONFIGS[args.model]
     root = Path(args.data_root)
@@ -49,47 +36,13 @@ def main():
         root / "data" / "processed" / "full_matching_table.csv")
     rnaseq_csv = root / "data" / "processed" / "rnaseq_normalized_mapped.csv"
 
-    cohort = select_cohort(table, cfg.name)
-    rnaseq_df = (load_rnaseq_matrix(rnaseq_csv)
-                 if rnaseq_csv.exists() and "rnaseq" in cfg.modalities
-                 else None)
-    arrays = build_cohort_arrays(
-        cohort, rnaseq_df, with_image="image" in cfg.modalities,
-        image_shape=cfg.image_shape)
-
-    model, batch_to_inputs, hazard_and_aux = make_model_and_adapters(
-        cfg, backbone=args.backbone)
-    hazard_and_aux = hazard_and_aux or (lambda out, b: (out, 0.0))
-
-    ckpt_path = Path(args.models_dir) / cfg.name / \
-        f"fold_{args.fold}_best.msgpack"
-    if not ckpt_path.exists():
-        print(f"checkpoint not found: {ckpt_path} — train the model first")
+    ckpt = Path(args.models_dir) / cfg.name / f"fold_{args.fold}_best.msgpack"
+    if not ckpt.exists():
+        print(f"checkpoint not found: {ckpt} — train the model first")
         return
 
-    data = arrays.to_device()
-    batch = dict(data)
-    batch["valid"] = batch["svalid"]
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
-        *batch_to_inputs({k: v[:2] for k, v in batch.items()}), train=False)
-    target = {"params": variables["params"],
-              "batch_stats": variables.get("batch_stats", {})}
-    restored = load_checkpoint(ckpt_path, jax.device_get(target))
-
-    out = model.apply(
-        {"params": restored["params"],
-         "batch_stats": restored["batch_stats"]},
-        *batch_to_inputs(batch), train=False)
-    hazard, _ = hazard_and_aux(out, batch)
-
-    labeled = np.asarray(batch["svalid"]) > 0
-    pred = pd.DataFrame({
-        "patient_id": np.asarray(arrays.patient_ids)[labeled],
-        "risk_score": np.asarray(hazard)[labeled],
-        "survival_time": np.asarray(batch["time"])[labeled],
-        "event": np.asarray(batch["event"])[labeled],
-    })
+    pred = predict_risk(cfg, ckpt, table, rnaseq_csv=rnaseq_csv,
+                        backbone=args.backbone)
     hi, lo, lr = km_groups(pred)
     out_dir = Path(args.out_dir or Path(args.results_root) / "km_curves")
     km_plot({"high risk": hi, "low risk": lo},
@@ -98,6 +51,8 @@ def main():
             pvalue=lr.p_value)
     pred.to_csv(out_dir / f"{cfg.name}_fold{args.fold}_predictions.csv",
                 index=False)
+    # the contract evaluate_model.py reads (reference evaluate_model.py)
+    pred.to_csv(Path(args.results_root) / "test_predictions.csv", index=False)
     print(f"log-rank p={lr.p_value:.4g}; artifacts -> {out_dir}")
 
 

@@ -1,0 +1,35 @@
+"""Train -> checkpoint -> predict_risk -> evaluate round trip."""
+
+import numpy as np
+
+from multimodal_survival_prediction_tpu.analysis import evaluate_predictions
+from multimodal_survival_prediction_tpu.config import RNASEQ_ONLY
+from multimodal_survival_prediction_tpu.data.synthetic import (
+    SyntheticCohortSpec,
+    generate_synthetic_cohort,
+)
+from multimodal_survival_prediction_tpu.train.cv import run_cross_validation
+from multimodal_survival_prediction_tpu.train.predict import predict_risk
+
+
+def test_train_then_predict(tmp_path):
+    spec = SyntheticCohortSpec(n_patients=36, rna_dim=100, seed=5,
+                               p_rnaseq=0.9)
+    table, paths = generate_synthetic_cohort(tmp_path, spec)
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2)
+    run_cross_validation(
+        cfg, table, rnaseq_csv=paths["rnaseq_csv"],
+        results_dir=tmp_path / "results", models_dir=tmp_path / "models",
+        num_epochs=3)
+
+    pred = predict_risk(
+        cfg, tmp_path / "models" / "rnaseq_only" / "fold_1_best.msgpack",
+        table, rnaseq_csv=paths["rnaseq_csv"])
+    assert {"patient_id", "risk_score", "survival_time",
+            "event"} <= set(pred.columns)
+    assert len(pred) > 0
+    assert np.all(np.isfinite(pred.risk_score))
+    # feeds straight into the evaluation layer
+    summary = evaluate_predictions(pred, out_dir=tmp_path / "eval")
+    assert 0.0 <= summary["c_index"] <= 1.0
+    assert (tmp_path / "eval" / "evaluation_summary.json").exists()
