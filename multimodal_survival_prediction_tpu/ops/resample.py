@@ -178,3 +178,60 @@ def preprocess_volume(vol, out_shape=(64, 64, 32), use_pallas: bool = False):
     """Public entry: one CT volume -> normalized fixed-shape training tensor."""
     fn = resample_normalize_pallas if use_pallas else resample_normalize
     return fn(vol, out_shape)
+
+
+# ---------------------------------------------------------------------------
+# Shape-bucketed resample: one compiled program per bucket, not per CT shape
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("out_shape",))
+def _resample_normalize_bucketed(vol_padded, rz, ry, rx, valid_dhw, out_shape):
+    """Like _resample_normalize_xla but for a volume embedded in a padded
+    buffer. The interpolation matrices are RUNTIME inputs whose columns only
+    touch the valid region, so the contraction ignores padding exactly; the
+    min/max for normalization are masked to the valid region."""
+    v = vol_padded.astype(jnp.float32)
+    d, h, w = v.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) < valid_dhw[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) < valid_dhw[1]
+    kk = jax.lax.broadcasted_iota(jnp.int32, v.shape, 2) < valid_dhw[2]
+    valid = ii & jj & kk
+    mn = jnp.min(jnp.where(valid, v, jnp.inf))
+    mx = jnp.max(jnp.where(valid, v, -jnp.inf))
+    scale = 1.0 / (mx - mn + 1e-8)
+    v = jnp.einsum("zhw,ow->zho", v, rx, precision="highest")
+    v = jnp.einsum("zho,ph->zpo", v, ry, precision="highest")
+    v = jnp.einsum("zpo,qz->qpo", v, rz, precision="highest")
+    return v * scale - mn * scale
+
+
+def bucket_shape(shape, granularity=(32, 64, 64)):
+    """Round each dim up to its granularity multiple."""
+    return tuple(-(-s // g) * g for s, g in zip(shape, granularity))
+
+
+def resample_normalize_bucketed(vol, out_shape=(64, 64, 32),
+                                granularity=(32, 64, 64)):
+    """Shape-bucketed resample+normalize.
+
+    A real cohort has ~one distinct CT shape per patient (SURVEY: 142 imaging
+    patients); jitting per exact shape would mean ~142 TPU compiles. Instead
+    the volume is zero-padded into a coarse shape bucket and the (tiny,
+    host-built) interpolation matrices — zero beyond the true extent — are
+    passed as runtime arguments, so ONE compiled program serves every shape
+    in the bucket with bit-identical output to the exact-shape path."""
+    vol = np.asarray(vol)
+    d, h, w = vol.shape
+    pd_, ph, pw = bucket_shape(vol.shape, granularity)
+    rz = np.zeros((out_shape[0], pd_), np.float32)
+    ry = np.zeros((out_shape[1], ph), np.float32)
+    rx = np.zeros((out_shape[2], pw), np.float32)
+    rz[:, :d] = linear_interp_matrix(d, out_shape[0])
+    ry[:, :h] = linear_interp_matrix(h, out_shape[1])
+    rx[:, :w] = linear_interp_matrix(w, out_shape[2])
+    padded = np.zeros((pd_, ph, pw), vol.dtype)
+    padded[:d, :h, :w] = vol
+    return _resample_normalize_bucketed(
+        jnp.asarray(padded), jnp.asarray(rz), jnp.asarray(ry),
+        jnp.asarray(rx), jnp.asarray([d, h, w], jnp.int32),
+        tuple(out_shape))

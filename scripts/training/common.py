@@ -39,6 +39,8 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel factor within the mesh (wide RNA "
                         "GEMMs column-sharded over the 'model' axis)")
+    p.add_argument("--image-shape", default=None,
+                   help="D,H,W for the CT training tensor (default 64,64,32)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize DenseNet layers (fit larger batches)")
     p.add_argument("--bf16", action="store_true",
@@ -78,6 +80,8 @@ def run_training(args, cfg):
         num_epochs=args.epochs, n_folds=args.n_folds,
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         seed=args.seed,
+        image_shape=(tuple(int(x) for x in args.image_shape.split(","))
+                     if args.image_shape else None),
     )
 
     root = Path(args.data_root)

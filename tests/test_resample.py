@@ -50,3 +50,29 @@ def test_identity_resample(rng):
     out = np.asarray(resample_normalize(vol, (8, 8, 8)))
     ref = (vol - vol.min()) / (vol.max() - vol.min() + 1e-8)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("in_shape", [(48, 96, 96), (33, 70, 100), (9, 11, 13)])
+def test_bucketed_matches_exact(in_shape, rng):
+    from multimodal_survival_prediction_tpu.ops.resample import (
+        resample_normalize_bucketed,
+    )
+
+    vol = rng.normal(100, 50, size=in_shape).astype(np.float32)
+    exact = np.asarray(resample_normalize(vol, (16, 16, 8)))
+    bucketed = np.asarray(resample_normalize_bucketed(vol, (16, 16, 8)))
+    np.testing.assert_allclose(bucketed, exact, atol=1e-5)
+
+
+def test_bucketed_compiles_once_per_bucket(rng):
+    from multimodal_survival_prediction_tpu.ops.resample import (
+        _resample_normalize_bucketed,
+        resample_normalize_bucketed,
+    )
+
+    before = _resample_normalize_bucketed._cache_size()
+    for shape in [(10, 50, 60), (20, 60, 50), (31, 40, 40)]:  # same bucket
+        resample_normalize_bucketed(
+            rng.normal(size=shape).astype(np.float32), (8, 8, 8))
+    after = _resample_normalize_bucketed._cache_size()
+    assert after - before == 1
