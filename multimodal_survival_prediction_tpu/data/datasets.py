@@ -150,31 +150,19 @@ def build_cohort_arrays(
 
 
 def _fill_images(arrays, table, image_shape, use_pallas, prefetcher):
-    from ..ops.resample import preprocess_volume
-    from .nifti import read_nifti
+    """Default ingest path: GIL-free C++ NIfTI decode on a thread pool,
+    overlapped with shape-BUCKETED on-device resample+normalize (one XLA
+    compile per shape bucket instead of one per distinct CT shape)."""
+    if prefetcher is None:
+        from .pipeline import VolumePrefetcher
 
-    if prefetcher is not None:
-        jobs = [
-            (i, row.nifti_path)
-            for i, (_, row) in enumerate(table.iterrows())
-            if bool(row.has_imaging) and row.nifti_path
-        ]
-        for i, vol in prefetcher.run(jobs, image_shape, use_pallas):
-            if vol is not None:
-                arrays["image"][i, ..., 0] = vol
-                arrays["mask"][i, 0] = 1.0
-        return
-
-    for i, (_, row) in enumerate(table.iterrows()):
-        if not bool(row.has_imaging) or not row.nifti_path:
-            continue
-        try:
-            img = read_nifti(row.nifti_path)
-            vol = np.asarray(
-                preprocess_volume(img.data, image_shape, use_pallas=use_pallas)
-            )
+        prefetcher = VolumePrefetcher()
+    jobs = [
+        (i, row.nifti_path)
+        for i, (_, row) in enumerate(table.iterrows())
+        if bool(row.has_imaging) and row.nifti_path
+    ]
+    for i, vol in prefetcher.run(jobs, image_shape, use_pallas):
+        if vol is not None:
             arrays["image"][i, ..., 0] = vol
             arrays["mask"][i, 0] = 1.0
-        except Exception as e:  # degrade to missing-modality, but LOG it
-            log.warning("failed to load %s: %s — treating as missing image",
-                        row.nifti_path, e)

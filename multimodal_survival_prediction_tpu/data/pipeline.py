@@ -42,15 +42,25 @@ class VolumePrefetcher:
     def run(self, jobs, out_shape, use_pallas: bool = False):
         import logging
 
-        from ..ops.resample import preprocess_volume
-        from .nifti import read_nifti
+        from ..ops.resample import (
+            resample_normalize_bucketed,
+            resample_normalize_pallas,
+        )
+        from .native import read_nifti_fast
 
         log = logging.getLogger(__name__)
+
+        def preprocess_volume(vol, shape, use_pallas):
+            # bucketed = one XLA compile per shape bucket; pallas path is the
+            # fused single-HBM-pass kernel (exact-shape, TPU only)
+            if use_pallas:
+                return resample_normalize_pallas(vol, shape)
+            return resample_normalize_bucketed(vol, shape)
 
         def decode(job):
             i, path = job
             try:
-                return i, read_nifti(path).data
+                return i, read_nifti_fast(path).data
             except Exception as e:
                 log.warning("decode failed for %s: %s", path, e)
                 return i, None
