@@ -75,4 +75,6 @@ def test_bucketed_compiles_once_per_bucket(rng):
         resample_normalize_bucketed(
             rng.normal(size=shape).astype(np.float32), (8, 8, 8))
     after = _resample_normalize_bucketed._cache_size()
-    assert after - before == 1
+    # <= 1: another test may have already compiled this bucket's program;
+    # the point is three distinct shapes add at most ONE compile
+    assert after - before <= 1
