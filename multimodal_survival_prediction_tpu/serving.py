@@ -1,0 +1,133 @@
+"""Low-latency risk-scoring service layer.
+
+The reference has no serving story (checkpoints are consumed by a documented
+but unimplemented load_state_dict snippet, reference README.md:386-399).
+This module provides one: a ``RiskScorer`` that loads a fold checkpoint once,
+pre-compiles a fixed-batch scoring function, and scores single patients or
+micro-batches with on-device CT preprocessing — suitable behind the bundled
+HTTP endpoint (scripts/serving/serve.py) or any batch driver.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ALL_CONFIGS, ModelRunConfig
+from .io.checkpoint import load_checkpoint
+from .ops.resample import resample_normalize_bucketed
+from .train.adapters import make_model_and_adapters
+
+
+class RiskScorer:
+    """One loaded model, compiled once, scoring forever.
+
+    Args:
+      model_name: config key (e.g. 'partial_modality').
+      checkpoint_path: models/<name>/fold_K_best.msgpack.
+      batch_size: compiled scoring batch (requests are padded to it).
+    """
+
+    def __init__(self, model_name: str, checkpoint_path,
+                 backbone: str = "densenet121", batch_size: int = 1,
+                 rna_dim: int = 5005, image_shape=(64, 64, 32)):
+        self.cfg: ModelRunConfig = ALL_CONFIGS[model_name]
+        self.image_shape = tuple(image_shape)
+        self.rna_dim = rna_dim
+        self.batch_size = batch_size
+
+        model, self._batch_to_inputs, hazard_and_aux = \
+            make_model_and_adapters(self.cfg, backbone=backbone)
+        self._hazard_and_aux = hazard_and_aux or (lambda out, b: (out, 0.0))
+        self.model = model
+
+        example = self._empty_batch(batch_size)
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(0)},
+                *self._batch_to_inputs(example), train=False))
+        target = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes)
+        restored = load_checkpoint(Path(checkpoint_path), {
+            "params": target["params"],
+            "batch_stats": target.get("batch_stats", {})})
+        self._variables = {
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"],
+            **{k: v for k, v in target.items()
+               if k not in ("params", "batch_stats")},
+        }
+
+        @jax.jit
+        def _score(variables, batch):
+            out = model.apply(variables, *self._batch_to_inputs(batch),
+                              train=False)
+            hazard, _ = self._hazard_and_aux(out, batch)
+            return hazard
+
+        self._score = _score
+        self.warmup()
+
+    def _empty_batch(self, n):
+        return {
+            "image": jnp.zeros((n, *self.image_shape, 1), jnp.float32),
+            "rnaseq": jnp.zeros((n, self.rna_dim), jnp.float32),
+            "clinical": jnp.zeros((n, 1), jnp.float32),
+            "mask": jnp.zeros((n, 3), jnp.float32),
+            "time": jnp.zeros((n,), jnp.float32),
+            "event": jnp.zeros((n,), jnp.float32),
+            "svalid": jnp.zeros((n,), jnp.float32),
+            "valid": jnp.ones((n,), jnp.float32),
+        }
+
+    def warmup(self):
+        jax.block_until_ready(
+            self._score(self._variables, self._empty_batch(self.batch_size)))
+
+    def score(self, rnaseq=None, age=None, volume=None,
+              nifti_path=None) -> dict:
+        """Score one patient. Missing modalities are zero-filled with the
+        matching mask bit cleared (the framework's standard missingness
+        semantics). `volume` is a raw (D,H,W) array; `nifti_path` loads one."""
+        # writable host copy (np.asarray over jax arrays is read-only)
+        batch = {k: np.array(v) for k, v in self._empty_batch(
+            self.batch_size).items()}
+        mask = np.zeros(3, np.float32)
+        if nifti_path is not None and volume is None:
+            from .data.native import read_nifti_fast
+
+            volume = read_nifti_fast(nifti_path).data
+        if volume is not None:
+            vol = np.asarray(
+                resample_normalize_bucketed(np.asarray(volume),
+                                            self.image_shape))
+            batch["image"][0, ..., 0] = vol
+            mask[0] = 1.0
+        if rnaseq is not None:
+            rna = np.asarray(rnaseq, np.float32)
+            if rna.shape[-1] != self.rna_dim:
+                raise ValueError(
+                    f"expected {self.rna_dim} genes, got {rna.shape[-1]}")
+            batch["rnaseq"][0] = rna
+            mask[1] = 1.0
+        if age is not None:
+            batch["clinical"][0, 0] = float(age) / 100.0
+            mask[2] = 1.0
+        if not mask.any():
+            raise ValueError("at least one modality is required")
+        batch["mask"][0] = mask
+
+        hazard = self._score(self._variables,
+                             {k: jnp.asarray(v) for k, v in batch.items()})
+        return {
+            "risk_score": float(np.asarray(hazard)[0]),
+            "modalities_used": {
+                "image": bool(mask[0]), "rnaseq": bool(mask[1]),
+                "clinical": bool(mask[2]),
+            },
+            "model": self.cfg.display_name,
+        }

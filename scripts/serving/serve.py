@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Risk-scoring HTTP service over a trained checkpoint.
+
+    python scripts/serving/serve.py --model partial_modality \
+        --checkpoint models/partial_modality/fold_1_best.msgpack --port 8400
+
+Endpoints:
+  GET  /healthz          -> {"status": "ok", "model": ...}
+  POST /score            -> body {"rnaseq": [5005 floats]?, "age": float?,
+                                  "nifti_path": "..."?}
+                            reply {"risk_score": ..., "modalities_used": ...}
+
+The model is compiled once at startup (warmup) so request latency is one
+device step + preprocessing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO_ROOT))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="partial_modality")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--backbone", default="densenet121",
+                   choices=["densenet121", "simple_cnn"])
+    p.add_argument("--rna-dim", type=int, default=5005)
+    p.add_argument("--image-shape", default="64,64,32")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8400)
+    args = p.parse_args()
+
+    from multimodal_survival_prediction_tpu.serving import RiskScorer
+
+    scorer = RiskScorer(
+        args.model, args.checkpoint, backbone=args.backbone,
+        rna_dim=args.rna_dim,
+        image_shape=tuple(int(x) for x in args.image_shape.split(",")))
+    print(f"model {args.model} loaded + compiled; "
+          f"serving on {args.host}:{args.port}")
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok",
+                                  "model": scorer.cfg.display_name})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/score":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                result = scorer.score(
+                    rnaseq=req.get("rnaseq"),
+                    age=req.get("age"),
+                    nifti_path=req.get("nifti_path"),
+                )
+                self._reply(200, result)
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - operational guard
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *a):
+            print(f"[serve] {fmt % a}")
+
+    ThreadingHTTPServer((args.host, args.port), Handler).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

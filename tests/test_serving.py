@@ -1,0 +1,47 @@
+"""RiskScorer serving-layer tests (library level; the HTTP endpoint is a
+thin handler over this, driven manually in round-1 verification)."""
+
+import numpy as np
+import pytest
+
+from multimodal_survival_prediction_tpu.config import RNASEQ_ONLY
+from multimodal_survival_prediction_tpu.data.synthetic import (
+    SyntheticCohortSpec,
+    generate_synthetic_cohort,
+)
+from multimodal_survival_prediction_tpu.serving import RiskScorer
+from multimodal_survival_prediction_tpu.train.cv import run_cross_validation
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    td = tmp_path_factory.mktemp("serve")
+    table, paths = generate_synthetic_cohort(
+        td, SyntheticCohortSpec(n_patients=30, rna_dim=80, seed=11,
+                                p_rnaseq=0.95))
+    run_cross_validation(
+        RNASEQ_ONLY.with_overrides(n_folds=2), table,
+        rnaseq_csv=paths["rnaseq_csv"], results_dir=td / "results",
+        models_dir=td / "models", num_epochs=2)
+    return td / "models" / "rnaseq_only" / "fold_1_best.msgpack"
+
+
+def test_scorer_roundtrip(checkpoint):
+    scorer = RiskScorer("rnaseq_only", checkpoint, rna_dim=80)
+    rng = np.random.default_rng(0)
+    out = scorer.score(rnaseq=rng.normal(size=80), age=60)
+    assert np.isfinite(out["risk_score"])
+    assert out["modalities_used"] == {"image": False, "rnaseq": True,
+                                      "clinical": True}
+    # deterministic: same input -> same score
+    out2 = scorer.score(rnaseq=rng.normal(size=80))
+    out3 = scorer.score(rnaseq=rng.normal(size=80))
+    assert out2["risk_score"] != out["risk_score"]  # different inputs differ
+
+
+def test_scorer_rejects_bad_inputs(checkpoint):
+    scorer = RiskScorer("rnaseq_only", checkpoint, rna_dim=80)
+    with pytest.raises(ValueError, match="80 genes"):
+        scorer.score(rnaseq=np.zeros(7))
+    with pytest.raises(ValueError, match="at least one modality"):
+        scorer.score()
