@@ -45,50 +45,63 @@ RNA_DIM = 5005
 CT_SHAPE = (160, 512, 512)  # typical TCGA-OV CT series
 
 
-def measure_train_steps_per_sec(dtype=None, timed_steps=None,
-                                cohort_size=N_PATIENTS):
-    """Steps/sec of the PRODUCTION path: the engine's whole-epoch lax.scan
-    over a device-resident synthetic cohort (per-step Python dispatch — and
-    its tunnel RPC latency on axon — does not exist in real training)."""
+def measure_train_steps_per_sec(dtype=None, timed_steps=30):
+    """Per-step measurement (conservative): each step pays a Python dispatch
+    through the axon tunnel that the production whole-epoch lax.scan path
+    does not — but the scan program takes >10min to remote-compile, which
+    does not fit the bench budget. Real epoch throughput is HIGHER."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
+    import optax
 
     from __graft_entry__ import _example_batch
-    from multimodal_survival_prediction_tpu.config import PARTIAL_MODALITY
-    from multimodal_survival_prediction_tpu.train.adapters import (
-        make_model_and_adapters,
-    )
-    from multimodal_survival_prediction_tpu.train.engine import (
-        TrainConfig,
-        Trainer,
+    from multimodal_survival_prediction_tpu.models import PartialModalityNet
+    from multimodal_survival_prediction_tpu.ops.cox import (
+        cox_partial_likelihood,
+        gate_entropy_loss,
     )
 
-    model, b2i, haz = make_model_and_adapters(PARTIAL_MODALITY, dtype=dtype)
-    trainer = Trainer(model, b2i, haz, TrainConfig(
-        batch_size=BATCH, learning_rate=1e-4, weight_decay=1e-4,
-        optimizer="adam", grad_clip=1.0))
+    model = PartialModalityNet(dtype=dtype)
+    np_batch = _example_batch(BATCH, IMAGE_SHAPE, RNA_DIM)
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        batch["image"], batch["rnaseq"], batch["clinical"], batch["mask"],
+        train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+    opt_state = tx.init(params)
 
-    data_np = _example_batch(cohort_size, IMAGE_SHAPE, RNA_DIM)
-    data = {k: jnp.asarray(v) for k, v in data_np.items() if k != "valid"}
-    example = {k: v[:BATCH] for k, v in data.items()}
-    example["valid"] = example["svalid"]
-    state = trainer.init_state(example)
+    def loss_fn(p, bs, b, key):
+        (hazard, gates), mut = model.apply(
+            {"params": p, "batch_stats": bs},
+            b["image"], b["rnaseq"], b["clinical"], b["mask"], train=True,
+            rngs={"dropout": key}, mutable=["batch_stats"])
+        loss = cox_partial_likelihood(
+            hazard, b["time"], b["event"], valid=b["svalid"]
+        ) + 0.01 * gate_entropy_loss(gates, valid=b["valid"])
+        return loss, mut["batch_stats"]
 
-    rows = np.arange(cohort_size)
-    shuffle = np.random.default_rng(0)
+    @jax.jit
+    def train_step(p, bs, opt, b, key):
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p, bs, b, key)
+        updates, new_opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), new_bs, new_opt, loss
+
     key = jax.random.PRNGKey(1)
-    n_steps = -(-cohort_size // BATCH)
-    # warmup epoch (compile)
-    state, _ = trainer.train_epoch(state, data, rows, shuffle, 1e-4, key)
+    # warmup/compile
+    params, batch_stats, opt_state, loss = train_step(
+        params, batch_stats, opt_state, batch, key)
+    jax.block_until_ready(loss)
     t0 = time.perf_counter()
-    epochs = 3
-    for e in range(epochs):
-        state, loss = trainer.train_epoch(
-            state, data, rows, shuffle, 1e-4, jax.random.fold_in(key, e))
-    elapsed = time.perf_counter() - t0
-    assert loss == loss, "NaN loss in bench epoch"
-    return epochs * n_steps / elapsed
+    for i in range(timed_steps):
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, batch,
+            jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+    return timed_steps / (time.perf_counter() - t0)
 
 
 def measure_preprocess_vols_per_sec(timed=8):
