@@ -172,3 +172,19 @@ def test_checkpoint_roundtrip(tmp_path, batch):
     a = model.apply(variables, batch["rnaseq"], train=False)
     b = model.apply(restored, batch["rnaseq"], train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_roundtrip_orbax(tmp_path, batch):
+    from multimodal_survival_prediction_tpu.io.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    model = RNASeqSurvivalModel(hidden_dims=(16,))
+    variables = jax.device_get(_init(model, batch["rnaseq"]))
+    save_checkpoint_orbax(tmp_path / "ckpt", variables)
+    zeroed = jax.tree_util.tree_map(np.zeros_like, variables)
+    restored = load_checkpoint_orbax(tmp_path / "ckpt", zeroed)
+    a = model.apply(variables, batch["rnaseq"], train=False)
+    b = model.apply(restored, batch["rnaseq"], train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
