@@ -39,6 +39,7 @@ def collect_results(results_root, model_dirs=None) -> pd.DataFrame:
             c_index_std=r["c_index_std"], fold_scores=r["fold_scores"],
             n_folds=len(r["fold_scores"]),
             hyperparameters=r["hyperparameters"],
+            raw=r["raw"],
         ))
     df = pd.DataFrame(rows)
     if len(df):
@@ -171,18 +172,26 @@ def export_results_json(df: pd.DataFrame, table: pd.DataFrame | None,
 
 def summary_statistics_csv(df: pd.DataFrame, out_path=None) -> pd.DataFrame:
     """summary_statistics.csv (reference comprehensive_analysis.py:417-432):
-    per-model mean/std/min/max/CV%/95% CI."""
+    per-model mean/std/min/max/CV%/95% CI + the efficiency score
+    mean/log10(dataset_size) when the results carry a dataset size."""
     rows = []
     for _, r in df.iterrows():
         fs = np.asarray(r.fold_scores, np.float64)
         mean, std = fs.mean(), fs.std()
         se = std / max(np.sqrt(len(fs)), 1)
         ci = 1.96 * se
+        n_patients = None
+        raw = getattr(r, "raw", None) or {}
+        if isinstance(raw, dict):
+            n_patients = raw.get("dataset_size")
+        eff = (mean / np.log10(n_patients)
+               if n_patients and n_patients > 10 else np.nan)
         rows.append(dict(
             model=r.model, mean_c_index=mean, std_c_index=std,
             min_c_index=fs.min(), max_c_index=fs.max(),
             cv_percent=100 * std / mean if mean else np.nan,
-            ci95_low=mean - ci, ci95_high=mean + ci, n_folds=len(fs)))
+            ci95_low=mean - ci, ci95_high=mean + ci, n_folds=len(fs),
+            dataset_size=n_patients, efficiency_score=eff))
     out = pd.DataFrame(rows)
     if out_path:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
