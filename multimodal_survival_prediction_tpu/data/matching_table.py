@@ -27,7 +27,6 @@ from __future__ import annotations
 import math
 from pathlib import Path
 
-import numpy as np
 import pandas as pd
 
 MATCHING_COLUMNS = [

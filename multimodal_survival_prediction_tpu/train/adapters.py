@@ -4,8 +4,6 @@ reference training script's loss composition (SURVEY §2.5, §2.6)."""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..config import ModelRunConfig
 from ..models import (
     FlexibleMultimodalModel,

@@ -23,7 +23,6 @@ from sklearn.model_selection import KFold
 
 from ..config import ModelRunConfig
 from ..data.datasets import (
-    CohortArrays,
     build_cohort_arrays,
     load_rnaseq_matrix,
     select_cohort,

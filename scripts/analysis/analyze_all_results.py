@@ -11,7 +11,6 @@ def main():
     args = base_parser(__doc__).parse_args()
     from pathlib import Path
 
-    import numpy as np
     import pandas as pd
 
     from multimodal_survival_prediction_tpu.analysis import (

@@ -4,7 +4,7 @@ scripts/training/comprehensive_analysis.py): ranked bars, fold-wise grouped
 bars, pairwise significance heatmap, per-model coefficient-of-variation and
 95% CIs, and results/comprehensive_analysis/summary_statistics.csv."""
 
-from common import base_parser, load_table_or_none
+from common import base_parser
 
 
 def main():

@@ -55,9 +55,7 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
 
 
 def run_training(args, cfg):
-    import jax
     import jax.numpy as jnp
-    import pandas as pd
 
     from multimodal_survival_prediction_tpu.data import (
         generate_synthetic_cohort,
