@@ -57,6 +57,42 @@ def model_comparison_main(df: pd.DataFrame, out_path):
     return _save(fig, out_path)
 
 
+ABLATION_GROUPS = {
+    "single-modality": ("rnaseq_only", "image_only"),
+    "static fusion": ("simple_fusion", "flexible_multimodal", "final"),
+    "adaptive fusion": ("partial_modality", "simmim", "mmsurv"),
+}
+
+
+def ablation_study(df: pd.DataFrame, out_path, groups=None):
+    """Grouped ablation figure (reference final_comparison.py:204-255):
+    single-modality vs static-fusion vs adaptive-fusion model groups."""
+    groups = groups or ABLATION_GROUPS
+    fig, ax = plt.subplots(figsize=(9, 5))
+    x = 0
+    ticks, labels = [], []
+    colors = ["#4878d0", "#ee854a", "#6acc64"]
+    for gi, (gname, keys) in enumerate(groups.items()):
+        members = df[df.key.isin(keys)]
+        for _, r in members.iterrows():
+            ax.bar(x, r.c_index_mean, yerr=r.c_index_std,
+                   color=colors[gi % len(colors)], alpha=0.85,
+                   label=gname if x == 0 or ticks and labels[-1] != gname
+                   else None)
+            ticks.append(x)
+            labels.append(r.model)
+            x += 1
+        x += 0.6  # gap between groups
+    ax.set_xticks(ticks, labels, rotation=30, ha="right")
+    ax.axhline(0.5, color="gray", ls="--", lw=1)
+    ax.set_ylabel("C-index")
+    ax.set_title("Ablation: modality groups")
+    handles = [plt.Rectangle((0, 0), 1, 1, color=c)
+               for c in colors[: len(groups)]]
+    ax.legend(handles, groups.keys(), fontsize=9)
+    return _save(fig, out_path)
+
+
 def significance_heatmap(pmat: pd.DataFrame, out_path):
     fig, ax = plt.subplots(figsize=(7, 6))
     im = ax.imshow(pmat.to_numpy(), cmap="RdYlGn", vmin=0, vmax=0.2)

@@ -20,6 +20,7 @@ def main():
         paired_t_vs_best,
     )
     from multimodal_survival_prediction_tpu.analysis.figures import (
+        ablation_study,
         model_comparison_main,
     )
 
@@ -31,6 +32,7 @@ def main():
     table = load_table_or_none(args.data_root)
 
     model_comparison_main(df, out / "model_comparison_main.png")
+    ablation_study(df, out / "ablation_study.png")
     md = generate_summary_md(df, table, out / "SUMMARY.md")
     export_results_json(df, table, out / "results.json")
     print(md)
