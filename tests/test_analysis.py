@@ -87,3 +87,46 @@ def test_evaluate_predictions(tmp_path, rng):
     on_disk = json.loads((tmp_path / "evaluation_summary.json").read_text())
     assert on_disk["n_patients"] == n
     assert on_disk["logrank"]["p_value"] <= 1.0
+
+
+def test_figures_render(results_root, tmp_path):
+    """All figure generators produce files (Agg backend, no display)."""
+    import numpy as np
+    import pandas as pd
+
+    from multimodal_survival_prediction_tpu.analysis.figures import (
+        ablation_study,
+        foldwise_bars,
+        km_plot,
+        model_comparison_main,
+        modality_availability,
+        risk_distributions,
+        significance_heatmap,
+    )
+    from multimodal_survival_prediction_tpu.ops.km import kaplan_meier
+
+    df = collect_results(results_root)
+    assert model_comparison_main(df, tmp_path / "a.png").exists()
+    assert ablation_study(df, tmp_path / "b.png").exists()
+    assert foldwise_bars(df, tmp_path / "c.png").exists()
+    assert significance_heatmap(
+        pairwise_significance(df), tmp_path / "d.png").exists()
+
+    rng = np.random.default_rng(0)
+    t = rng.uniform(1, 100, 50)
+    e = (rng.uniform(size=50) < 0.7).astype(float)
+    km = kaplan_meier(t, e)
+    assert km_plot({"all": km}, tmp_path / "e.png", pvalue=0.03).exists()
+
+    table = pd.DataFrame(dict(
+        patient_id=[f"P{i}" for i in range(20)],
+        has_imaging=rng.uniform(size=20) < 0.5,
+        has_rnaseq=rng.uniform(size=20) < 0.5,
+        has_clinical=True, has_survival=rng.uniform(size=20) < 0.5,
+        survival_status=(rng.uniform(size=20) < 0.5).astype(int)))
+    assert modality_availability(table, tmp_path / "f.png").exists()
+
+    pred = pd.DataFrame(dict(risk_score=rng.normal(size=30),
+                             survival_time=rng.uniform(1, 50, 30),
+                             event=(rng.uniform(size=30) < 0.6).astype(float)))
+    assert risk_distributions(pred, tmp_path / "g.png").exists()
