@@ -66,10 +66,19 @@ def native_available() -> bool:
 
 
 def read_nifti_fast(path):
-    """NIfTI -> NiftiImage via the C++ reader; pure-Python fallback."""
+    """NIfTI -> NiftiImage, fastest available path.
+
+    Measured on this machine the pure-"Python" reader wins single-threaded:
+    its heavy ops (zlib inflate, strided transpose copy) already run in C
+    with the GIL released, and it keeps the on-disk dtype (int16 CTs) while
+    the C++ reader pays a float32 conversion + an extra copy. The C++ path
+    (set MSP_NATIVE_IO=1) remains for environments where Python-side
+    overheads dominate; both are exact."""
+    import os
+
     from .nifti import NiftiImage, read_nifti
 
-    lib = _load()
+    lib = _load() if os.environ.get("MSP_NATIVE_IO") == "1" else None
     if lib is None:
         return read_nifti(path)
     dims = (ctypes.c_int64 * 3)()

@@ -55,10 +55,16 @@ def _matrices(in_shape: tuple, out_shape: tuple):
     )
 
 
-@partial(jax.jit, static_argnames=("out_shape",))
-def _resample_normalize_xla(vol, out_shape):
+@partial(jax.jit, static_argnames=("out_shape", "hu_window"))
+def _resample_normalize_xla(vol, out_shape, hu_window=None):
     rz, ry, rx = _matrices(vol.shape, out_shape)
     v = vol.astype(jnp.float32)
+    if hu_window is not None:
+        # CT Hounsfield windowing (e.g. soft tissue (-150, 250)) BEFORE the
+        # min-max normalize. The reference README claims intensity windowing
+        # but its code never does it (SURVEY §2.3 note); here it is a
+        # capability, default off for reference parity.
+        v = jnp.clip(v, hu_window[0], hu_window[1])
     mn = jnp.min(v)
     mx = jnp.max(v)
     scale = 1.0 / (mx - mn + 1e-8)
@@ -69,11 +75,14 @@ def _resample_normalize_xla(vol, out_shape):
     return v * scale - mn * scale
 
 
-def resample_normalize(vol, out_shape=(64, 64, 32)):
-    """(D,H,W) array -> (out_shape) float32, min-max normalized then
-    trilinearly resampled (reference order: normalize BEFORE zoom — identical
-    result because interpolation weights are a partition of unity)."""
-    return _resample_normalize_xla(jnp.asarray(vol), tuple(out_shape))
+def resample_normalize(vol, out_shape=(64, 64, 32), hu_window=None):
+    """(D,H,W) array -> (out_shape) float32, (optionally HU-windowed,)
+    min-max normalized, then trilinearly resampled (reference order:
+    normalize BEFORE zoom — identical result because interpolation weights
+    are a partition of unity)."""
+    return _resample_normalize_xla(
+        jnp.asarray(vol), tuple(out_shape),
+        tuple(hu_window) if hu_window is not None else None)
 
 
 # ---------------------------------------------------------------------------

@@ -107,3 +107,32 @@ def test_gate_entropy_matches_torch(rng):
     ent = -torch.sum(gt * torch.log(gt + 1e-8), dim=1)
     golden = float(-ent.mean())
     assert ours == pytest.approx(golden, abs=1e-5)
+
+
+def test_efron_matches_naive_reference(rng):
+    """Efron correction vs an independent direct-summation implementation."""
+    n = 30
+    hazard = rng.normal(size=n).astype(np.float64)
+    time = rng.integers(1, 8, size=n).astype(np.float64)  # heavy ties
+    event = (rng.uniform(size=n) < 0.7).astype(np.float64)
+    event[:2] = 1.0
+
+    # direct Efron NLL: for each unique event time t with D events,
+    # sum_{k=0..d-1} log( sum_{risk} e^h - (k/d) sum_{tied events} e^h )
+    # minus sum of tied-event hazards; risk set = {time >= t}
+    neg_ll = 0.0
+    n_events = event.sum()
+    for t in np.unique(time[event > 0]):
+        tied = (time == t) & (event > 0)
+        d = int(tied.sum())
+        risk = np.exp(hazard[time >= t]).sum()
+        tie_sum = np.exp(hazard[tied]).sum()
+        neg_ll -= hazard[tied].sum()
+        for k in range(d):
+            neg_ll += np.log(risk - (k / d) * tie_sum)
+    golden_val = neg_ll / n_events
+
+    ours = float(cox_partial_likelihood(
+        hazard.astype(np.float32), time.astype(np.float32),
+        event.astype(np.float32), ties="efron"))
+    assert ours == pytest.approx(golden_val, abs=2e-3)

@@ -19,7 +19,8 @@ from multimodal_survival_prediction_tpu.data.pipeline import (
 )
 
 
-def test_native_read_matches_python(tmp_path, rng):
+def test_native_read_matches_python(tmp_path, rng, monkeypatch):
+    monkeypatch.setenv("MSP_NATIVE_IO", "1")  # force the C++ reader
     vol = rng.normal(0, 100, size=(14, 22, 18)).astype(np.float32)
     p = tmp_path / "v.nii.gz"
     write_nifti(p, vol, spacing=(0.5, 0.5, 3.0))

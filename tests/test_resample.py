@@ -78,3 +78,12 @@ def test_bucketed_compiles_once_per_bucket(rng):
     # <= 1: another test may have already compiled this bucket's program;
     # the point is three distinct shapes add at most ONE compile
     assert after - before <= 1
+
+
+def test_hu_window(rng):
+    vol = rng.normal(0, 500, size=(10, 12, 14)).astype(np.float32)
+    clipped = np.clip(vol, -150, 250)
+    ref = golden(clipped, (8, 8, 8))
+    out = np.asarray(resample_normalize(vol, (8, 8, 8),
+                                        hu_window=(-150, 250)))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
