@@ -64,3 +64,26 @@ def test_plateau_matches_torch():
         sched.step(m)
         lr_ours = ours.step(m)
         assert lr_ours == pytest.approx(opt.param_groups[0]["lr"])
+
+
+def test_profile_trace_writes_artifacts(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.utils import profile_trace
+
+    with profile_trace(str(tmp_path)):
+        jax.block_until_ready(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+    # xplane protobuf dump appears under plugins/profile/<run>/
+    hits = list(tmp_path.rglob("*.xplane.pb"))
+    assert hits, f"no trace artifacts in {tmp_path}"
+
+
+def test_block_and_time():
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.utils import block_and_time
+
+    secs, out = block_and_time(lambda: jnp.arange(8) * 2, iters=2)
+    assert secs >= 0
+    assert int(out[-1]) == 14
