@@ -125,6 +125,56 @@ def foldwise_bars(df: pd.DataFrame, out_path):
     return _save(fig, out_path)
 
 
+# Architectural complexity on a 1-5 scale (the reference hand-assigns these,
+# reference comprehensive_analysis.py:317-325); keyed by results-dir name.
+COMPLEXITY_SCORES = {
+    "image_only": 1, "rnaseq_only": 1, "simple_fusion": 2,
+    "flexible_multimodal": 3, "final": 3, "partial_modality": 4,
+    "simmim": 5, "mmsurv": 5,
+}
+
+
+def violin_scatter(df: pd.DataFrame, out_path):
+    """Violin of fold scores with overlaid per-fold scatter (reference
+    comprehensive_analysis violin+scatter panel)."""
+    fig, ax = plt.subplots(figsize=(10, 5))
+    data = [np.asarray(r.fold_scores) for _, r in df.iterrows()]
+    pos = np.arange(1, len(data) + 1)
+    parts = ax.violinplot(data, positions=pos, showmeans=True)
+    for pc in parts["bodies"]:
+        pc.set_facecolor("#4878d0")
+        pc.set_alpha(0.4)
+    for i, fs in enumerate(data, 1):
+        ax.scatter(np.full(len(fs), i) + np.linspace(-0.06, 0.06, len(fs)),
+                   fs, color="#d65f5f", zorder=3, s=18)
+    ax.set_xticks(pos, df.model, rotation=30, ha="right")
+    ax.axhline(0.5, color="gray", ls="--", lw=1)
+    ax.set_ylabel("C-index")
+    ax.set_title("Score distribution per model")
+    return _save(fig, out_path)
+
+
+def performance_vs_dataset_size(df: pd.DataFrame, out_path):
+    """C-index vs training-cohort size, annotated with complexity scores
+    (reference comprehensive_analysis performance-vs-size + complexity)."""
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for _, r in df.iterrows():
+        raw = r.get("raw") or {}
+        n = raw.get("dataset_size") if isinstance(raw, dict) else None
+        if not n:
+            continue
+        cx = COMPLEXITY_SCORES.get(r.key, 3)
+        ax.errorbar(n, r.c_index_mean, yerr=r.c_index_std, fmt="o",
+                    ms=5 + 2 * cx, capsize=3, alpha=0.8)
+        ax.annotate(f"{r.model} (cx={cx})", (n, r.c_index_mean),
+                    textcoords="offset points", xytext=(6, 4), fontsize=8)
+    ax.axhline(0.5, color="gray", ls="--", lw=1)
+    ax.set_xlabel("dataset size (patients)")
+    ax.set_ylabel("C-index")
+    ax.set_title("Performance vs dataset size (marker size = complexity)")
+    return _save(fig, out_path)
+
+
 def km_plot(curves: dict, out_path, title="Kaplan-Meier", pvalue=None):
     """curves: {label: KaplanMeier}."""
     fig, ax = plt.subplots(figsize=(7, 5))

@@ -21,7 +21,9 @@ def main():
     from multimodal_survival_prediction_tpu.analysis.figures import (
         foldwise_bars,
         model_comparison_main,
+        performance_vs_dataset_size,
         significance_heatmap,
+        violin_scatter,
     )
 
     out = Path(args.out_dir
@@ -33,6 +35,8 @@ def main():
 
     model_comparison_main(df, out / "ranked_comparison.png")
     foldwise_bars(df, out / "foldwise_scores.png")
+    violin_scatter(df, out / "violin_scatter.png")
+    performance_vs_dataset_size(df, out / "performance_vs_size.png")
     if len(df) > 1:
         pmat = pairwise_significance(df)
         significance_heatmap(pmat, out / "significance_heatmap.png")

@@ -100,8 +100,10 @@ def test_figures_render(results_root, tmp_path):
         km_plot,
         model_comparison_main,
         modality_availability,
+        performance_vs_dataset_size,
         risk_distributions,
         significance_heatmap,
+        violin_scatter,
     )
     from multimodal_survival_prediction_tpu.ops.km import kaplan_meier
 
@@ -111,6 +113,8 @@ def test_figures_render(results_root, tmp_path):
     assert foldwise_bars(df, tmp_path / "c.png").exists()
     assert significance_heatmap(
         pairwise_significance(df), tmp_path / "d.png").exists()
+    assert violin_scatter(df, tmp_path / "h.png").exists()
+    assert performance_vs_dataset_size(df, tmp_path / "i.png").exists()
 
     rng = np.random.default_rng(0)
     t = rng.uniform(1, 100, 50)
