@@ -155,3 +155,13 @@ def test_resume_mid_cv(cohort, tmp_path):
     # uninterrupted control run
     p3, outcomes3 = _run(cfg, cohort, tmp_path / "b", num_epochs=4)
     assert len(outcomes3[0].history) == 4
+
+
+def test_deterministic_given_seed(cohort, tmp_path):
+    """Same seed, same data -> bit-identical fold results (the reference can't
+    promise this; a jit-compiled functional pipeline can)."""
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2)
+    p1, _ = _run(cfg, cohort, tmp_path / "r1", num_epochs=2)
+    p2, _ = _run(cfg, cohort, tmp_path / "r2", num_epochs=2)
+    assert p1["fold_results"] == p2["fold_results"]
+    assert p1["c_index_mean"] == p2["c_index_mean"]
