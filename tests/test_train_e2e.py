@@ -165,3 +165,37 @@ def test_deterministic_given_seed(cohort, tmp_path):
     p2, _ = _run(cfg, cohort, tmp_path / "r2", num_epochs=2)
     assert p1["fold_results"] == p2["fold_results"]
     assert p1["c_index_mean"] == p2["c_index_mean"]
+
+
+def test_fault_injection_corrupt_nifti(tmp_path):
+    """A corrupt CT file must degrade to the missing-modality path (mask=0)
+    and the run must still complete — the reference's failure semantics
+    (silent except:pass, reference simple_fusion.py:130-131) but observable."""
+    from pathlib import Path
+
+    from multimodal_survival_prediction_tpu.data.datasets import (
+        build_cohort_arrays,
+        select_cohort,
+    )
+
+    spec = SyntheticCohortSpec(n_patients=20, rna_dim=60, seed=13,
+                               p_imaging=0.9,
+                               image_shapes=((10, 16, 16),))
+    table, paths = generate_synthetic_cohort(tmp_path, spec)
+    # corrupt the first imaging patient's file
+    victim = table[table.has_imaging].iloc[0]
+    Path(victim.nifti_path).write_bytes(b"garbage not nifti")
+
+    cohort = select_cohort(table, "image_only")
+    arrays = build_cohort_arrays(cohort, None, with_image=True,
+                                 image_shape=(8, 8, 8))
+    vi = arrays.index[victim.patient_id]
+    assert arrays.arrays["mask"][vi, 0] == 0.0  # degraded to missing
+    assert arrays.arrays["mask"][:, 0].sum() == len(cohort) - 1
+    # and training still runs end to end
+    cfg = IMAGE_ONLY.with_overrides(n_folds=2, image_shape=(8, 8, 8),
+                                    batch_size=4)
+    payload, _ = run_cross_validation(
+        cfg, table, results_dir=tmp_path / "results",
+        models_dir=tmp_path / "models", backbone="simple_cnn", num_epochs=1)
+    assert np.isfinite(payload["c_index_mean"])
