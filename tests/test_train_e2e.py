@@ -199,3 +199,14 @@ def test_fault_injection_corrupt_nifti(tmp_path):
         cfg, table, results_dir=tmp_path / "results",
         models_dir=tmp_path / "models", backbone="simple_cnn", num_epochs=1)
     assert np.isfinite(payload["c_index_mean"])
+
+
+def test_bf16_training_runs(cohort, tmp_path):
+    """bfloat16 encoder compute keeps the loss finite and the pipeline green
+    (params/optimizer stay fp32; matches the --bf16 flag path)."""
+    import jax.numpy as jnp
+
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2)
+    payload, _ = _run(cfg, cohort, tmp_path, num_epochs=2, dtype=jnp.bfloat16)
+    assert np.isfinite(payload["c_index_mean"])
+    assert 0.0 <= payload["c_index_mean"] <= 1.0
