@@ -123,7 +123,17 @@ NiftiData* decode_nifti(const char* path) {
   if (std::strncmp(magic, "n+1", 3) != 0 && std::strncmp(magic, "ni1", 3) != 0)
     return nullptr;
 
+  // Corrupt-header guards: nonpositive dims would poison the size math, and
+  // a vox_offset outside [header_end, file_size] (incl. NaN/negative, UB on
+  // float->size_t cast) would underflow `avail` below and pass the bounds
+  // check while reading out of range. Reject -> caller degrades the file to
+  // the missing-modality path instead of segfaulting.
+  if (nx <= 0 || ny <= 0 || nz <= 0) return nullptr;
+  if (!(vox_offset >= static_cast<float>(kHdrSize + 4)) ||
+      vox_offset > static_cast<float>(raw.size()))
+    return nullptr;
   size_t off = static_cast<size_t>(vox_offset);
+  if (off > raw.size()) return nullptr;  // float rounding near the edge
   size_t nvox = static_cast<size_t>(nx) * ny * nz;
   auto* out = new NiftiData();
   out->dims[0] = nz; out->dims[1] = ny; out->dims[2] = nx;

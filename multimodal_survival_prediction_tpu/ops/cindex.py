@@ -31,8 +31,10 @@ def concordance_index(hazard, time, event, valid=None, variant: str = "harrell")
       event:  (n,) event indicators (1=event, 0=censored).
       valid:  optional (n,) validity mask for padded batches.
       variant: 'harrell' (ties in prediction get 0.5; tied-time event/censored
-               pairs comparable) or 'naive' (reference double loop: pairs are
-               (i event, time_j > time_i) only, prediction ties get 0.5).
+               pairs comparable) or 'naive' (bit-matches the reference double
+               loop, train_rnaseq_only.py:55-70: pairs are (i event,
+               time_j > time_i) only, and tied predictions get 0 credit —
+               `if log_hazard[i] > log_hazard[j]` is strict).
     """
     hazard = jnp.asarray(hazard, jnp.float32)
     time = jnp.asarray(time, jnp.float32)
@@ -61,7 +63,12 @@ def concordance_index(hazard, time, event, valid=None, variant: str = "harrell")
         )
 
     comparable = comparable.astype(jnp.float32) * vv
-    concordant = jnp.where(h_i > h_j, 1.0, jnp.where(h_i == h_j, 0.5, 0.0))
+    if variant == "naive":
+        # strict inequality only — reference counts tied predictions as 0
+        concordant = jnp.where(h_i > h_j, 1.0, 0.0)
+    else:
+        concordant = jnp.where(
+            h_i > h_j, 1.0, jnp.where(h_i == h_j, 0.5, 0.0))
 
     num = jnp.sum(comparable * concordant)
     den = jnp.sum(comparable)

@@ -85,8 +85,12 @@ class RiskScorer:
         }
 
     def warmup(self):
-        jax.block_until_ready(
-            self._score(self._variables, self._empty_batch(self.batch_size)))
+        from .utils.profiling import _sync
+
+        # _sync (value readback), not block_until_ready: the latter returns
+        # early on the axon remote backend, so the first request would still
+        # pay the compile wait.
+        _sync(self._score(self._variables, self._empty_batch(self.batch_size)))
 
     def score(self, rnaseq=None, age=None, volume=None,
               nifti_path=None) -> dict:

@@ -181,6 +181,7 @@ def run_cross_validation(
             shuffle_rng.bit_generator.state = resumed_meta["shuffle_rng"]
             dropout_key = jax.numpy.asarray(
                 np.asarray(resumed_meta["dropout_key"], np.uint32))
+            lr = resumed_meta["lr"]
             plateau.lr = resumed_meta["lr"]
             plateau.best = resumed_meta["plateau_best"]
             plateau.num_bad = resumed_meta["plateau_num_bad"]
@@ -205,8 +206,11 @@ def run_cross_validation(
                 "history": history,
             }, default=str))
 
-        # stage 1 (SimMLM expert pretraining): no model selection, fixed LR
-        if stage1_trainer is not None:
+        # stage 1 (SimMLM expert pretraining): no model selection, fixed LR.
+        # Skipped on resume: stage 1 already ran before the first stage-2
+        # checkpoint, so re-running it would corrupt the restored trajectory
+        # and burn extra shuffle-RNG draws.
+        if stage1_trainer is not None and resumed_meta is None:
             stage1_trainer._extra_collections = trainer._extra_collections
             for epoch in range(1, cfg.stage1_epochs + 1):
                 dropout_key, ek = jax.random.split(dropout_key)

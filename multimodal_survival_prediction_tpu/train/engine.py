@@ -11,6 +11,12 @@ Semantics preserved from the reference training loops (SURVEY §2.6):
     Python-skipped; reference skips batches with <2 labeled or 0 events —
     our masked loss returns exactly 0 for those, so no parameter update
     happens either way modulo optimizer-moment decay, documented difference),
+  * ragged final batch: the reference feeds a smaller last batch
+    (no drop_last); we keep shapes static and pad the tail by cycling the
+    epoch's own shuffled permutation. Loss terms for padded rows are masked
+    to exactly 0, but BatchNorm batch statistics DO see the duplicated rows
+    — a documented deviation (cycling spreads the duplicates across the
+    cohort instead of biasing stats toward one row),
   * gradient clipping by global norm 1.0 (where the reference uses it),
   * torch Adam (L2-into-grad) vs AdamW (decoupled) distinction,
   * per-epoch pooled validation C-index,
@@ -262,15 +268,21 @@ class Trainer:
                      rng: np.random.Generator | None):
         """Pad a fold's global row indices to (steps, batch) + validity mask.
 
-        Fixed shapes keep the epoch jit-stable; the padded tail mirrors the
-        reference DataLoader's ragged final batch (no drop_last)."""
+        Fixed shapes keep the epoch jit-stable; the padded tail stands in for
+        the reference DataLoader's ragged final batch (no drop_last). Padded
+        rows cycle the epoch's own permutation (not a constant row) so the
+        duplicates feeding BatchNorm statistics are spread across the cohort;
+        their loss contribution is masked to 0 via ``bvalid`` (see module
+        docstring for the BN deviation)."""
         indices = np.asarray(indices, np.int32)
         order = rng.permutation(indices) if rng is not None else indices
         n = len(indices)
         steps = max(1, -(-n // batch_size))
         padded = steps * batch_size
-        idx = np.zeros(padded, np.int32)
+        idx = np.empty(padded, np.int32)
         idx[:n] = order
+        if padded > n:
+            idx[n:] = np.resize(order, padded - n)
         bvalid = np.zeros(padded, np.float32)
         bvalid[:n] = 1.0
         return (idx.reshape(steps, batch_size),

@@ -24,16 +24,31 @@ def profile_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def _sync(result):
+    """True device-completion barrier.
+
+    jax.block_until_ready is NOT reliable on the axon remote backend — it
+    returns before the computation finishes (measured: "block" in 8.6 ms,
+    then the value fetch stalled 47 s draining the queue). Fetching one
+    element of one leaf is a real barrier, and device execution is in-order,
+    so it fences every dispatch queued before it."""
+    import jax
+    import numpy as np
+
+    leaves = [x for x in jax.tree_util.tree_leaves(result)
+              if hasattr(x, "shape")]
+    if leaves:
+        np.asarray(jax.numpy.ravel(leaves[-1])[:1])
+    return result
+
+
 def block_and_time(fn, *args, iters: int = 1, **kwargs):
     """(mean_seconds, last_result) with device completion included."""
-    import jax
-
-    result = fn(*args, **kwargs)  # warmup / compile
-    jax.block_until_ready(result)
+    result = _sync(fn(*args, **kwargs))  # warmup / compile
     t0 = time.perf_counter()
     for _ in range(iters):
         result = fn(*args, **kwargs)
-    jax.block_until_ready(result)
+    _sync(result)
     return (time.perf_counter() - t0) / iters, result
 
 
