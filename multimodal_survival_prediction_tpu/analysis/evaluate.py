@@ -29,7 +29,9 @@ def evaluate_predictions(pred: pd.DataFrame, out_dir=None) -> dict:
     cindex = concordance_index_np(risk, time, event)
 
     median_risk = float(np.median(risk))
-    high = risk >= median_risk
+    # strict >: reference evaluate_model.py:58-60 assigns 'High Risk' only
+    # when risk_score > median
+    high = risk > median_risk
     low = ~high
 
     km_high = kaplan_meier(time[high], event[high])
@@ -85,7 +87,22 @@ def km_groups(pred: pd.DataFrame):
     time = pred.survival_time.to_numpy(np.float64)
     event = pred.event.to_numpy(np.float64)
     med = np.median(risk)
-    hi = risk >= med
+    hi = risk > med  # strict, reference evaluate_model.py:58-60
     return (kaplan_meier(time[hi], event[hi]),
             kaplan_meier(time[~hi], event[~hi]),
             logrank_test(time[hi], event[hi], time[~hi], event[~hi]))
+
+
+def km_event_types(pred: pd.DataFrame) -> dict:
+    """{label: KaplanMeier} per event type (reference
+    evaluate_model.py:99-112 fits KM separately on the censored subset and
+    the death subset — the censored-only curve stays at 1.0 by
+    construction; reproduced as-is). Subsets with no patients are omitted."""
+    time = pred.survival_time.to_numpy(np.float64)
+    event = pred.event.to_numpy(np.float64)
+    curves = {}
+    for label, val in (("Censored", 0), ("Death", 1)):
+        mask = event == val
+        if mask.sum() > 0:
+            curves[label] = kaplan_meier(time[mask], event[mask])
+    return curves

@@ -175,6 +175,126 @@ def performance_vs_dataset_size(df: pd.DataFrame, out_path):
     return _save(fig, out_path)
 
 
+def model_comparison_analysis(df: pd.DataFrame, out_path,
+                              baseline_key: str = "image_only"):
+    """6-panel comparison figure (reference
+    scripts/analysis/analyze_all_results.py:157-330,
+    results/model_comparison_analysis.png): box plot, mean±std bars,
+    fold-wise lines, violin, %-improvement over the Image-Only baseline,
+    and a statistical summary table."""
+    names = df.model.tolist()
+    scores = [np.asarray(r.fold_scores, float) for _, r in df.iterrows()]
+    means = df.c_index_mean.to_numpy()
+    stds = df.c_index_std.to_numpy()
+    colors = [plt.cm.Set2(i % 8) for i in range(len(names))]
+
+    fig = plt.figure(figsize=(16, 12))
+
+    def _refs(ax, axis="y"):
+        line = ax.axhline if axis == "y" else ax.axvline
+        line(0.5, color="red", ls="--", lw=1, alpha=0.5)
+        line(0.6, color="green", ls="--", lw=1, alpha=0.5)
+
+    # 1: box plot (notch needs >=2 points; reference sets notch=True always)
+    ax = fig.add_subplot(2, 3, 1)
+    bp = ax.boxplot(scores, tick_labels=names, patch_artist=True,
+                    showmeans=True,
+                    meanprops=dict(marker="D", markerfacecolor="red"))
+    for patch, c in zip(bp["boxes"], colors):
+        patch.set_facecolor(c)
+    _refs(ax)
+    ax.set_ylabel("C-index")
+    ax.set_title("Model Performance Distribution")
+    plt.setp(ax.xaxis.get_majorticklabels(), rotation=15, ha="right")
+
+    # 2: mean±std bars with value labels
+    ax = fig.add_subplot(2, 3, 2)
+    x = np.arange(len(names))
+    bars = ax.bar(x, means, yerr=stds, capsize=5, alpha=0.8, color=colors,
+                  edgecolor="black")
+    for b, m, s in zip(bars, means, stds):
+        ax.text(b.get_x() + b.get_width() / 2, b.get_height() + s + 0.01,
+                f"{m:.4f}\n±{s:.4f}", ha="center", va="bottom", fontsize=8)
+    ax.set_xticks(x, names)
+    _refs(ax)
+    ax.set_ylabel("C-index")
+    ax.set_title("Mean C-index with Std Dev")
+    plt.setp(ax.xaxis.get_majorticklabels(), rotation=15, ha="right")
+
+    # 3: fold-wise line plot
+    ax = fig.add_subplot(2, 3, 3)
+    for i, (name, fs) in enumerate(zip(names, scores)):
+        ax.plot(range(1, len(fs) + 1), fs, marker="o", label=name,
+                color=plt.cm.tab10(i))
+    _refs(ax)
+    ax.set_xlabel("Fold")
+    ax.set_ylabel("C-index")
+    ax.set_title("C-index Across Folds")
+    ax.legend(fontsize=8)
+
+    # 4: violin
+    ax = fig.add_subplot(2, 3, 4)
+    parts = ax.violinplot(scores, positions=np.arange(1, len(scores) + 1),
+                          showmeans=True)
+    for pc, c in zip(parts["bodies"], colors):
+        pc.set_facecolor(c)
+        pc.set_alpha(0.6)
+    ax.set_xticks(range(1, len(names) + 1), names)
+    _refs(ax)
+    ax.set_ylabel("C-index")
+    ax.set_title("Distribution Comparison (Violin)")
+    plt.setp(ax.xaxis.get_majorticklabels(), rotation=15, ha="right")
+
+    # 5: improvement over baseline (horizontal bars)
+    ax = fig.add_subplot(2, 3, 5)
+    base_rows = df[df.key == baseline_key]
+    if len(base_rows):
+        b = float(base_rows.iloc[0].c_index_mean)
+        labels, imps = [], []
+        for _, r in df.iterrows():
+            if r.key == baseline_key:
+                continue
+            labels.append(r.model)
+            imps.append(100.0 * (r.c_index_mean - b) / b)
+        bars = ax.barh(labels, imps,
+                       color=["green" if v > 0 else "red" for v in imps],
+                       alpha=0.7, edgecolor="black")
+        for bar, v in zip(bars, imps):
+            ax.text(bar.get_width(), bar.get_y() + bar.get_height() / 2,
+                    f"{v:+.2f}%", va="center", fontsize=9,
+                    ha="left" if v > 0 else "right")
+        ax.axvline(0, color="black", lw=2)
+        ax.set_xlabel("Improvement over Baseline (%)")
+        ax.set_title(f"Relative Improvement over {base_rows.iloc[0].model}")
+    else:
+        ax.axis("off")
+        ax.set_title("(no Image-Only baseline found)")
+
+    # 6: statistical summary table
+    ax = fig.add_subplot(2, 3, 6)
+    ax.axis("off")
+    rows = []
+    for name, fs, m, s in zip(names, scores, means, stds):
+        cv = 100.0 * s / m if m else float("nan")
+        rows.append([name, f"{m:.4f}", f"{s:.4f}",
+                     f"[{fs.min():.3f}, {fs.max():.3f}]", f"{cv:.2f}%"])
+    tbl = ax.table(cellText=rows,
+                   colLabels=["Model", "Mean", "Std", "Range", "CV"],
+                   cellLoc="center", loc="center", bbox=[0, 0, 1, 1])
+    tbl.auto_set_font_size(False)
+    tbl.set_fontsize(9)
+    for i in range(5):
+        tbl[(0, i)].set_facecolor("#4CAF50")
+        tbl[(0, i)].set_text_props(weight="bold", color="white")
+    for i in range(1, len(rows) + 1):
+        for j in range(5):
+            tbl[(i, j)].set_facecolor(colors[(i - 1) % len(colors)])
+    ax.set_title("Statistical Summary", pad=20)
+
+    fig.tight_layout()
+    return _save(fig, out_path)
+
+
 def km_plot(curves: dict, out_path, title="Kaplan-Meier", pvalue=None):
     """curves: {label: KaplanMeier}."""
     fig, ax = plt.subplots(figsize=(7, 5))
@@ -188,6 +308,34 @@ def km_plot(curves: dict, out_path, title="Kaplan-Meier", pvalue=None):
     t = title if pvalue is None else f"{title} (log-rank p={pvalue:.3g})"
     ax.set_title(t)
     ax.legend()
+    return _save(fig, out_path)
+
+
+def kaplan_meier_panels(group_curves: dict, event_curves: dict, out_path,
+                        pvalue=None):
+    """2-panel KM figure (reference evaluate_model.py:74-118,
+    results/kaplan_meier_curves.png): left = survival by risk group
+    (with log-rank p), right = survival by event type."""
+    fig, axes = plt.subplots(1, 2, figsize=(14, 5))
+    for ax, curves, title in (
+        (axes[0], group_curves, "Kaplan-Meier Survival Curves by Risk Group"),
+        (axes[1], event_curves, "Kaplan-Meier Survival Curves by Event Type"),
+    ):
+        for label, km in curves.items():
+            ax.step(km.timeline, km.survival, where="post", label=label)
+            ax.fill_between(km.timeline, km.ci_lower, km.ci_upper,
+                            step="post", alpha=0.15)
+        ax.set_xlabel("Time (days)")
+        ax.set_ylabel("Survival Probability")
+        ax.set_ylim(0, 1.02)
+        ax.grid(True, alpha=0.3)
+        ax.legend(loc="best")
+        ax.set_title(title)
+    if pvalue is not None:
+        axes[0].set_title(
+            f"Kaplan-Meier Survival Curves by Risk Group "
+            f"(log-rank p={pvalue:.3g})")
+    fig.tight_layout()
     return _save(fig, out_path)
 
 

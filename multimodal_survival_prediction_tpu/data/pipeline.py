@@ -15,7 +15,10 @@ Design here:
     pipeline cleanly, so ingest runs at ~decode speed,
   * generality: for cohorts too big for HBM, `BatchPrefetcher` wraps any
     host batch iterator with an N-deep jax.device_put prefetch queue
-    (double-buffered by default), the standard JAX input-feeding pattern.
+    (double-buffered by default), the standard JAX input-feeding pattern —
+    it feeds `train.engine.Trainer.train_epoch_streaming`, the streaming
+    twin of the device-resident scan epoch (equivalence tested in
+    tests/test_train_e2e.py).
 """
 
 from __future__ import annotations

@@ -35,6 +35,13 @@ def shard_batch_dim(x, mesh: Mesh, axis_name: str = "data", axis: int = 0):
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
 
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-dim batch sharding (rank-agnostic: a PartitionSpec shorter
+    than the array rank leaves trailing dims replicated) — the sharding a
+    host->device input prefetcher applies to every batch leaf."""
+    return NamedSharding(mesh, P(axis_name))
+
+
 def _is_wide_kernel(path: tuple, leaf) -> bool:
     """TP rule: Dense kernels with out-features >= 512 get column-parallel
     sharding (last dim over 'model')."""

@@ -172,11 +172,27 @@ def run_cross_validation(
 
             sd = load_checkpoint(resume_dir / "state.msgpack",
                                  _state_dict(jax.device_get(state)))
-            state = _TS(**sd)
+            restored = _TS(**sd)
             if mesh is not None:
-                from ..parallel.sharding import replicate
+                # restore each leaf onto the sharding its pre-resume
+                # counterpart had (TP kernels back onto the 'model' axis,
+                # replicated leaves replicated) — a plain replicate() here
+                # would silently drop tensor parallelism after resume.
+                # Leaves whose originals were uncommitted single-device
+                # arrays (e.g. scalar optimizer counters) stay uncommitted:
+                # committing them to one device would conflict with the
+                # mesh-sharded leaves under jit.
+                from jax.sharding import NamedSharding as _NS
 
-                state = replicate(state, mesh)
+                def _restore_leaf(new, old):
+                    sh = getattr(old, "sharding", None)
+                    if isinstance(sh, _NS):
+                        return jax.device_put(new, sh)
+                    return jax.numpy.asarray(new)
+
+                state = jax.tree_util.tree_map(_restore_leaf, restored, state)
+            else:
+                state = restored
             shuffle_rng = np.random.default_rng()
             shuffle_rng.bit_generator.state = resumed_meta["shuffle_rng"]
             dropout_key = jax.numpy.asarray(

@@ -138,6 +138,7 @@ class Trainer:
             dict(mesh.shape).get("model", 1) > 1)
         self._extra_collections = {}
         self._train_epoch_fn = None
+        self._train_step_fn = None
         self._eval_fn = None
 
     # ---------------- init ----------------
@@ -236,6 +237,26 @@ class Trainer:
 
         return jax.jit(train_epoch, donate_argnums=(0,))
 
+    def _build_train_step(self):
+        """Single-step jitted update for the STREAMING path (per-step
+        dispatch; the scan epoch is the default). Carries the dropout key
+        exactly like the scan body (split per step), so given identical
+        batch order the two paths produce the same trajectory."""
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+
+        def train_step(st, batch, lr, key):
+            key, dkey = jax.random.split(key)
+            (loss, new_bs), grads = grad_fn(
+                st.params, st.batch_stats, batch, dkey)
+            updates, new_opt = self.tx.update(grads, st.opt_state, st.params,
+                                              lr)
+            new_params = optax.apply_updates(st.params, updates)
+            st = TrainState(params=new_params, batch_stats=new_bs,
+                            opt_state=new_opt, step=st.step + 1)
+            return st, key, loss
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
     def _build_eval(self):
         def eval_batches(params, batch_stats, data, idx, bvalid):
             variables = {"params": params, "batch_stats": batch_stats,
@@ -308,6 +329,45 @@ class Trainer:
         state, loss = self._train_epoch_fn(state, data, perm, bvalid,
                                            dropout_key, jnp.float32(lr))
         return state, float(loss)
+
+    def train_epoch_streaming(self, state, host_data, indices,
+                              shuffle_rng: np.random.Generator, lr: float,
+                              dropout_key, depth: int = 2):
+        """Streaming-ingest epoch: the cohort stays on HOST (numpy arrays),
+        batches are gathered there and double-buffered onto the device by
+        ``data.pipeline.BatchPrefetcher`` while the previous step computes.
+
+        Use when the cohort exceeds HBM (the default `train_epoch` keeps all
+        arrays device-resident and scans — always prefer it when data fits).
+        Same semantics as the scan path: identical batch order + per-step
+        dropout-key chain → same trajectory."""
+        from ..data.pipeline import BatchPrefetcher
+
+        if self._train_step_fn is None:
+            self._train_step_fn = self._build_train_step()
+        perm, bvalid = self._pad_indices(indices, self.cfg.batch_size,
+                                         shuffle_rng)
+
+        def host_batches():
+            for idx, bv in zip(perm, bvalid):
+                batch = {k: v[idx] for k, v in host_data.items()}
+                batch["valid"] = bv
+                batch["svalid"] = batch["svalid"] * bv
+                yield batch
+
+        sharding = None
+        if self.mesh is not None:
+            from ..parallel.sharding import batch_sharding
+
+            sharding = batch_sharding(self.mesh, self.batch_axis)
+        key = dropout_key
+        losses = []
+        lr_arr = jnp.float32(lr)
+        for batch in BatchPrefetcher(host_batches(), depth=depth,
+                                     sharding=sharding):
+            state, key, loss = self._train_step_fn(state, batch, lr_arr, key)
+            losses.append(loss)
+        return state, float(np.mean([float(l) for l in losses]))
 
     def evaluate(self, state, data, indices):
         """Pooled C-index / mean loss / per-sample hazards over `indices`."""

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Cross-model results analysis with report (parity with reference
 scripts/analysis/analyze_all_results.py): stats summary, fold pivot, full
-p-value matrix, improvement over the Image-Only baseline, and
-results/analysis_report.txt with recommendation tiers)."""
+p-value matrix, improvement over the Image-Only baseline, the 6-panel
+model_comparison_analysis.png figure (reference :157-330), and
+results/analysis_report.txt with recommendation tiers."""
 
 from common import base_parser
 
@@ -64,6 +65,16 @@ def main():
     out.write_text(report)
     print(report)
     print(f"report -> {out}")
+
+    # 6-panel comparison figure (reference analyze_all_results.py:157-330
+    # saves results/model_comparison_analysis.png)
+    from multimodal_survival_prediction_tpu.analysis.figures import (
+        model_comparison_analysis,
+    )
+
+    fig_path = model_comparison_analysis(
+        df, out.parent / "model_comparison_analysis.png")
+    print(f"figure -> {fig_path}")
 
 
 if __name__ == "__main__":

@@ -19,8 +19,12 @@ def main():
     from multimodal_survival_prediction_tpu.analysis import (
         evaluate_predictions,
     )
-    from multimodal_survival_prediction_tpu.analysis.evaluate import km_groups
+    from multimodal_survival_prediction_tpu.analysis.evaluate import (
+        km_event_types,
+        km_groups,
+    )
     from multimodal_survival_prediction_tpu.analysis.figures import (
+        kaplan_meier_panels,
         km_plot,
         risk_distributions,
     )
@@ -36,6 +40,11 @@ def main():
     hi, lo, lr = km_groups(pred)
     km_plot({"high risk": hi, "low risk": lo}, out / "km_risk_groups.png",
             title="KM by risk group", pvalue=lr.p_value)
+    # 2-panel figure: risk groups + per-event-type curves (reference
+    # evaluate_model.py:74-118 -> kaplan_meier_curves.png)
+    kaplan_meier_panels(
+        {"Low Risk": lo, "High Risk": hi}, km_event_types(pred),
+        out / "kaplan_meier_curves.png", pvalue=lr.p_value)
     risk_distributions(pred, out / "risk_distributions.png")
 
     print(f"C-index: {summary['c_index']:.4f}")

@@ -4,7 +4,14 @@ scripts/training/final_comparison.py): loads every results/<model>/
 cv_results.json (both schema variants), runs paired t-tests vs the best
 model, derives dataset stats from the matching table, renders the main
 comparison figure, and writes results/final_comparison/{SUMMARY.md,
-results.json}."""
+results.json}.
+
+Documented deviation (SURVEY §2.13 / VERDICT r1): the reference HARDCODES
+per-model patient counts in its figure (final_comparison.py:176-183 — e.g.
+Simple Fusion/MMsurv at 88, though the shipped simple_fusion folds sum to
+68); this implementation derives the counts from the actual results/matching
+table, so on the reference cohort the derived numbers reflect the data, not
+the reference's stale literals."""
 
 from common import base_parser, load_table_or_none
 

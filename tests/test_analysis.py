@@ -134,3 +134,49 @@ def test_figures_render(results_root, tmp_path):
                              survival_time=rng.uniform(1, 50, 30),
                              event=(rng.uniform(size=30) < 0.6).astype(float)))
     assert risk_distributions(pred, tmp_path / "g.png").exists()
+
+
+def test_model_comparison_analysis_figure(results_root, tmp_path):
+    """6-panel figure (reference analyze_all_results.py:157-330) renders,
+    including the improvement-over-Image-Only panel and summary table."""
+    from multimodal_survival_prediction_tpu.analysis.figures import (
+        model_comparison_analysis,
+    )
+
+    df = collect_results(results_root)
+    out = model_comparison_analysis(df, tmp_path / "mca.png")
+    assert out.exists() and out.stat().st_size > 10_000
+
+
+def test_km_event_types_and_panels(tmp_path, rng):
+    """Per-event-type KM split (reference evaluate_model.py:99-112) and the
+    2-panel kaplan_meier_curves figure."""
+    from multimodal_survival_prediction_tpu.analysis.evaluate import (
+        km_event_types,
+        km_groups,
+    )
+    from multimodal_survival_prediction_tpu.analysis.figures import (
+        kaplan_meier_panels,
+    )
+
+    n = 60
+    risk = rng.normal(size=n)
+    pred = pd.DataFrame(dict(
+        risk_score=risk,
+        survival_time=np.exp(-risk) * rng.exponential(80, size=n) + 1,
+        event=(rng.uniform(size=n) < 0.6).astype(float)))
+    curves = km_event_types(pred)
+    assert set(curves) == {"Censored", "Death"}
+    # censored-only KM has zero events: survival stays at 1 (reference
+    # behavior, reproduced as-is)
+    assert float(np.min(curves["Censored"].survival)) == 1.0
+    assert float(np.min(curves["Death"].survival)) < 1.0
+
+    hi, lo, lr = km_groups(pred)
+    out = kaplan_meier_panels({"Low Risk": lo, "High Risk": hi}, curves,
+                              tmp_path / "km2.png", pvalue=lr.p_value)
+    assert out.exists()
+
+    # all-events edge: censored subset absent -> omitted
+    pred_all = pred.assign(event=1.0)
+    assert set(km_event_types(pred_all)) == {"Death"}

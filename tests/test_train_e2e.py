@@ -210,3 +210,105 @@ def test_bf16_training_runs(cohort, tmp_path):
     payload, _ = _run(cfg, cohort, tmp_path, num_epochs=2, dtype=jnp.bfloat16)
     assert np.isfinite(payload["c_index_mean"])
     assert 0.0 <= payload["c_index_mean"] <= 1.0
+
+
+def test_streaming_epoch_matches_scan_epoch():
+    """train_epoch_streaming (BatchPrefetcher host->device ingest, per-step
+    jit) must produce the same trajectory as the device-resident scan epoch:
+    identical batch order + identical per-step dropout-key chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.models import RNASeqSurvivalModel
+    from multimodal_survival_prediction_tpu.train.engine import (
+        TrainConfig,
+        Trainer,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 20, 48  # n not a multiple of bs -> padded ragged tail exercised
+    host_data = {
+        "rnaseq": rng.normal(size=(n, d)).astype(np.float32),
+        "time": rng.exponential(300.0, size=n).astype(np.float32),
+        "event": (rng.uniform(size=n) < 0.7).astype(np.float32),
+        "svalid": np.ones(n, np.float32),
+    }
+    model = RNASeqSurvivalModel(hidden_dims=(32, 16))
+    cfg = TrainConfig(batch_size=8, optimizer="adamw", grad_clip=None)
+
+    def run(streaming: bool):
+        tr = Trainer(model, lambda b: (b["rnaseq"],), None, cfg)
+        example = {k: v[:8] for k, v in host_data.items()}
+        example["valid"] = example["svalid"]
+        state = tr.init_state(example, fold=1)
+        key = jax.random.PRNGKey(3)
+        shuffle = np.random.default_rng(11)
+        idx = np.arange(n)
+        for _ in range(2):
+            if streaming:
+                state, loss = tr.train_epoch_streaming(
+                    state, host_data, idx, shuffle, 1e-3, key)
+            else:
+                data = {k: jnp.asarray(v) for k, v in host_data.items()}
+                state, loss = tr.train_epoch(state, data, idx, shuffle,
+                                             1e-3, key)
+        return jax.device_get(state.params), loss
+
+    p_scan, l_scan = run(streaming=False)
+    p_stream, l_stream = run(streaming=True)
+    assert abs(l_scan - l_stream) < 1e-5
+    flat_a = jax.tree_util.tree_leaves(p_scan)
+    flat_b = jax.tree_util.tree_leaves(p_stream)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_resume_restores_tp_shardings(cohort, tmp_path):
+    """Resume under a DP x TP mesh must put restored leaves back onto their
+    original shardings (wide RNA kernels on the 'model' axis), not
+    replicate them (round-1 known gap)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from multimodal_survival_prediction_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, model_parallel=2)
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2, batch_size=16)
+    _run(cfg, cohort, tmp_path, num_epochs=1, mesh=mesh,
+         tensor_parallel=True, resume=True, checkpoint_every=1)
+    p2, outcomes = _run(cfg, cohort, tmp_path, num_epochs=2, mesh=mesh,
+                        tensor_parallel=True, resume=True, checkpoint_every=1)
+    assert np.isfinite(p2["c_index_mean"])
+    for o in outcomes:
+        assert o.epochs_run == 2
+
+    # the mechanic itself, discriminating: restored-onto-old-sharding keeps
+    # the TP spec (a replicate() would not)
+    from multimodal_survival_prediction_tpu.config import RNASEQ_ONLY as C
+    from multimodal_survival_prediction_tpu.train.adapters import (
+        make_model_and_adapters,
+    )
+    from multimodal_survival_prediction_tpu.train.engine import (
+        TrainConfig,
+        Trainer,
+        TrainState,
+    )
+
+    model, b2i, haz = make_model_and_adapters(C, rna_dim=640)
+    tr = Trainer(model, b2i, haz, TrainConfig(batch_size=8), mesh=mesh,
+                 tensor_parallel=True)
+    example = {
+        "rnaseq": np.zeros((8, 640), np.float32),
+        "time": np.ones(8, np.float32),
+        "event": np.ones(8, np.float32),
+        "svalid": np.ones(8, np.float32),
+        "valid": np.ones(8, np.float32),
+    }
+    state = tr.init_state(example, fold=1)
+    restored = TrainState(**jax.device_get(
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "opt_state": state.opt_state, "step": state.step}))
+    state2 = jax.tree_util.tree_map(
+        lambda new, old: jax.device_put(new, old.sharding), restored, state)
+    k = state2.params["block0"]["linear"]["dense"]["kernel"]
+    assert "model" in str(k.sharding.spec), k.sharding
