@@ -22,11 +22,24 @@ namespace {
 constexpr int kHdrSize = 348;
 
 struct NiftiData {
-  std::vector<float> voxels;  // (D, H, W) C-order
-  int64_t dims[3];            // D, H, W
-  float spacing[3];           // x, y, z
+  std::vector<float> voxels;      // (D, H, W) C-order (converting path)
+  std::vector<uint8_t> raw;       // payload in on-disk dtype (raw path)
+  int32_t dtype_code = 0;         // NIfTI datatype code when raw, else 0
+  int64_t dims[3];                // D, H, W
+  float spacing[3];               // x, y, z
   float origin[3];
 };
+
+// Element size per supported NIfTI datatype code (0 = unsupported).
+size_t dtype_esize(int16_t code) {
+  switch (code) {
+    case 2: case 256: return 1;   // uint8 / int8
+    case 4: case 512: return 2;   // int16 / uint16
+    case 8: case 16:  return 4;   // int32 / float32
+    case 64:          return 8;   // float64
+    default:          return 0;
+  }
+}
 
 // -- gzip / raw file load ---------------------------------------------------
 
@@ -104,7 +117,14 @@ void transpose_to_dhw(const uint8_t* src, int64_t nx, int64_t ny, int64_t nz,
     }
 }
 
-NiftiData* decode_nifti(const char* path) {
+// allow_raw: when scl slope/inter are trivial (slope 0 or 1, inter 0 — the
+// common CT case), keep the payload in its on-disk dtype with ZERO
+// conversion work: NIfTI stores x-fastest (Fortran (x,y,z)), which is
+// byte-identical to C-order (D,H,W)=(z,y,x), so the "transpose" is a single
+// memcpy. Matches data/nifti.py's pure-Python semantics (it also keeps the
+// native dtype in that case). Non-trivial scaling falls back to the
+// converting float32 path.
+NiftiData* decode_nifti(const char* path, bool allow_raw = false) {
   std::vector<uint8_t> raw;
   if (!load_file(path, raw) || raw.size() < kHdrSize + 4) return nullptr;
   const uint8_t* h = raw.data();
@@ -141,6 +161,15 @@ NiftiData* decode_nifti(const char* path) {
 
   const uint8_t* v = raw.data() + off;
   size_t avail = raw.size() - off;
+
+  size_t esize = dtype_esize(datatype);
+  bool trivial_scale = (slope == 1.0f) && (inter == 0.0f);
+  if (allow_raw && trivial_scale && esize > 0 && avail >= nvox * esize) {
+    out->dtype_code = datatype;
+    out->raw.assign(v, v + nvox * esize);
+    return out;
+  }
+
   bool ok = true;
   switch (datatype) {
     case 2:   ok = avail >= nvox * 1; if (ok) transpose_to_dhw<uint8_t >(v, nx, ny, nz, slope, inter, out->voxels); break;
@@ -187,6 +216,31 @@ void* msp_nifti_open(const char* path, int64_t dims[3], float spacing[3],
     origin[i] = d->origin[i];
   }
   return d;
+}
+
+// Open + decode, keeping the on-disk dtype when scaling is trivial.
+// dtype_code receives the NIfTI datatype code for the raw payload, or 0 if
+// the volume needed float32 conversion (then read it with msp_nifti_copy).
+void* msp_nifti_open_any(const char* path, int64_t dims[3], float spacing[3],
+                         float origin[3], int32_t* dtype_code) {
+  NiftiData* d = decode_nifti(path, /*allow_raw=*/true);
+  if (!d) return nullptr;
+  for (int i = 0; i < 3; ++i) {
+    dims[i] = d->dims[i];
+    spacing[i] = d->spacing[i];
+    origin[i] = d->origin[i];
+  }
+  *dtype_code = d->dtype_code;
+  return d;
+}
+
+// Copy the raw-dtype payload into caller buffer (nbytes must match).
+int msp_nifti_copy_raw(void* handle, uint8_t* out, int64_t nbytes) {
+  auto* d = static_cast<NiftiData*>(handle);
+  if (!d || d->dtype_code == 0) return -1;
+  if (static_cast<size_t>(nbytes) != d->raw.size()) return -2;
+  std::memcpy(out, d->raw.data(), d->raw.size());
+  return 0;
 }
 
 // Copy decoded (D,H,W) float32 voxels into caller buffer.

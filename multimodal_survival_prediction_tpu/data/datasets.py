@@ -106,6 +106,7 @@ def build_cohort_arrays(
     image_shape=(64, 64, 32),
     use_pallas: bool = False,
     prefetcher=None,
+    hu_window=None,
 ) -> CohortArrays:
     """Build the fixed-shape array set for one cohort.
 
@@ -144,12 +145,14 @@ def build_cohort_arrays(
         arrays["svalid"][i] = float(bool(row.has_survival))
 
     if with_image:
-        _fill_images(arrays, table, image_shape, use_pallas, prefetcher)
+        _fill_images(arrays, table, image_shape, use_pallas, prefetcher,
+                     hu_window=hu_window)
 
     return CohortArrays(patient_ids=pids, arrays=arrays)
 
 
-def _fill_images(arrays, table, image_shape, use_pallas, prefetcher):
+def _fill_images(arrays, table, image_shape, use_pallas, prefetcher,
+                 hu_window=None):
     """Default ingest path: GIL-free C++ NIfTI decode on a thread pool,
     overlapped with shape-BUCKETED on-device resample+normalize (one XLA
     compile per shape bucket instead of one per distinct CT shape)."""
@@ -162,7 +165,8 @@ def _fill_images(arrays, table, image_shape, use_pallas, prefetcher):
         for i, (_, row) in enumerate(table.iterrows())
         if bool(row.has_imaging) and row.nifti_path
     ]
-    for i, vol in prefetcher.run(jobs, image_shape, use_pallas):
+    for i, vol in prefetcher.run(jobs, image_shape, use_pallas,
+                                 hu_window=hu_window):
         if vol is not None:
             arrays["image"][i, ..., 0] = vol
             arrays["mask"][i, 0] = 1.0

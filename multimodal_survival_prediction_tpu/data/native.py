@@ -50,6 +50,14 @@ def _load():
     lib.msp_nifti_copy.restype = ctypes.c_int
     lib.msp_nifti_copy.argtypes = [ctypes.c_void_p,
                                    ctypes.POINTER(ctypes.c_float)]
+    lib.msp_nifti_open_any.restype = ctypes.c_void_p
+    lib.msp_nifti_open_any.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.msp_nifti_copy_raw.restype = ctypes.c_int
+    lib.msp_nifti_copy_raw.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
     lib.msp_nifti_close.argtypes = [ctypes.c_void_p]
     lib.msp_resample_normalize.restype = ctypes.c_int
     lib.msp_resample_normalize.argtypes = [
@@ -65,15 +73,22 @@ def native_available() -> bool:
     return _load() is not None
 
 
+# NIfTI datatype code -> numpy dtype (raw/native-dtype path)
+_NIFTI_DTYPES = {2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32,
+                 64: np.float64, 256: np.int8, 512: np.uint16}
+
+
 def read_nifti_fast(path):
     """NIfTI -> NiftiImage, fastest available path.
 
-    Measured on this machine the pure-"Python" reader wins single-threaded:
-    its heavy ops (zlib inflate, strided transpose copy) already run in C
-    with the GIL released, and it keeps the on-disk dtype (int16 CTs) while
-    the C++ reader pays a float32 conversion + an extra copy. The C++ path
-    (set MSP_NATIVE_IO=1) remains for environments where Python-side
-    overheads dominate; both are exact."""
+    The C++ reader (set MSP_NATIVE_IO=1) decodes gzip + copies the payload
+    with the GIL released so VolumePrefetcher threads scale across cores; it
+    keeps the on-disk dtype (int16 CTs — zero conversion work, NIfTI's
+    x-fastest layout is byte-identical to C-order (D,H,W)) when scl
+    slope/inter are trivial, exactly like the pure-Python reader. Volumes
+    needing scaling fall back to the converting float32 path. Both are
+    exact; the pure-Python reader remains the default (its heavy ops
+    already run in C and it wins single-threaded)."""
     import os
 
     from .nifti import NiftiImage, read_nifti
@@ -84,21 +99,29 @@ def read_nifti_fast(path):
     dims = (ctypes.c_int64 * 3)()
     spacing = (ctypes.c_float * 3)()
     origin = (ctypes.c_float * 3)()
-    handle = lib.msp_nifti_open(str(path).encode(), dims, spacing, origin)
+    dtype_code = ctypes.c_int32(0)
+    handle = lib.msp_nifti_open_any(str(path).encode(), dims, spacing,
+                                    origin, ctypes.byref(dtype_code))
     if not handle:
         return read_nifti(path)  # e.g. big-endian files
     try:
-        out = np.empty((dims[0], dims[1], dims[2]), np.float32)
-        rc = lib.msp_nifti_copy(
-            ctypes.c_void_p(handle),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if dtype_code.value:
+            dt = np.dtype(_NIFTI_DTYPES[dtype_code.value])
+            out = np.empty((dims[0], dims[1], dims[2]), dt)
+            rc = lib.msp_nifti_copy_raw(
+                ctypes.c_void_p(handle),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                out.nbytes)
+        else:
+            out = np.empty((dims[0], dims[1], dims[2]), np.float32)
+            rc = lib.msp_nifti_copy(
+                ctypes.c_void_p(handle),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         if rc != 0:
             return read_nifti(path)
     finally:
         lib.msp_nifti_close(ctypes.c_void_p(handle))
-    import numpy as _np
-
-    affine = _np.eye(4)
+    affine = np.eye(4)
     affine[0, 0], affine[1, 1], affine[2, 2] = spacing[:]
     affine[:3, 3] = origin[:]
     return NiftiImage(data=out, spacing=tuple(spacing[:]),

@@ -42,7 +42,8 @@ class VolumePrefetcher:
         self.num_workers = num_workers
         self.depth = max(1, depth)
 
-    def run(self, jobs, out_shape, use_pallas: bool = False):
+    def run(self, jobs, out_shape, use_pallas: bool = False,
+            hu_window=None):
         import logging
 
         from ..ops.resample import (
@@ -55,10 +56,15 @@ class VolumePrefetcher:
 
         def preprocess_volume(vol, shape, use_pallas):
             # bucketed = one XLA compile per shape bucket; pallas path is the
-            # fused single-HBM-pass kernel (exact-shape, TPU only)
+            # fused single-HBM-pass kernel (exact-shape, TPU only).
+            # hu_window: optional CT Hounsfield clip BEFORE normalization —
+            # a capability the reference README claims but its code lacks
+            # (SURVEY §2.3 note); default off for parity.
             if use_pallas:
-                return resample_normalize_pallas(vol, shape)
-            return resample_normalize_bucketed(vol, shape)
+                return resample_normalize_pallas(vol, shape,
+                                                 hu_window=hu_window)
+            return resample_normalize_bucketed(vol, shape,
+                                               hu_window=hu_window)
 
         def decode(job):
             i, path = job

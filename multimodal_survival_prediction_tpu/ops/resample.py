@@ -89,7 +89,8 @@ def resample_normalize(vol, out_shape=(64, 64, 32), hu_window=None):
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
 
-def _wpass_kernel(vol_ref, rxt_ref, out_ref, mn_ref, mx_ref):
+def _wpass_kernel(vol_ref, rxt_ref, out_ref, mn_ref, mx_ref, *,
+                  hu_window=None):
     """One HBM pass: per (ROWS, W) tile of the (D*H, W)-reshaped volume,
       * fold the tile's min/max into SMEM accumulators (fused with the read
         — XLA needs a separate reduction pass for this),
@@ -100,6 +101,9 @@ def _wpass_kernel(vol_ref, rxt_ref, out_ref, mn_ref, mx_ref):
     i = pl.program_id(0)
 
     tile = vol_ref[...]
+    if hu_window is not None:
+        # CT Hounsfield windowing, fused into the same single HBM read
+        tile = jnp.clip(tile, hu_window[0], hu_window[1])
     tmin = jnp.min(tile)
     tmax = jnp.max(tile)
 
@@ -118,8 +122,8 @@ def _wpass_kernel(vol_ref, rxt_ref, out_ref, mn_ref, mx_ref):
                            precision=jax.lax.Precision.HIGHEST)
 
 
-@partial(jax.jit, static_argnames=("out_shape", "rows"))
-def _resample_normalize_pallas(vol, out_shape, rows):
+@partial(jax.jit, static_argnames=("out_shape", "rows", "hu_window"))
+def _resample_normalize_pallas(vol, out_shape, rows, hu_window=None):
     from jax.experimental.pallas import tpu as pltpu
 
     vol = vol.astype(jnp.float32)
@@ -139,7 +143,7 @@ def _resample_normalize_pallas(vol, out_shape, rows):
             [flat, jnp.broadcast_to(flat[-1:], (padded - n_rows, w))], axis=0)
 
     tmp, mn, mx = pl.pallas_call(
-        _wpass_kernel,
+        partial(_wpass_kernel, hu_window=hu_window),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((rows, w), lambda i: (i, 0),
@@ -168,7 +172,8 @@ def _resample_normalize_pallas(vol, out_shape, rows):
     return v * scale - mn[0] * scale
 
 
-def resample_normalize_pallas(vol, out_shape=(64, 64, 32), rows: int = 1024):
+def resample_normalize_pallas(vol, out_shape=(64, 64, 32), rows: int = 1024,
+                              hu_window=None):
     """Fused Pallas version of :func:`resample_normalize` (TPU hot path).
 
     The volume is HBM-bandwidth bound; everything downstream of the first
@@ -179,8 +184,9 @@ def resample_normalize_pallas(vol, out_shape=(64, 64, 32), rows: int = 1024):
     noise. The host array is shipped in its NATIVE dtype (CTs are int16 — half
     the host->HBM bytes) and converted on device.
     """
-    return _resample_normalize_pallas(jnp.asarray(vol), tuple(out_shape),
-                                      int(rows))
+    return _resample_normalize_pallas(
+        jnp.asarray(vol), tuple(out_shape), int(rows),
+        tuple(hu_window) if hu_window is not None else None)
 
 
 def preprocess_volume(vol, out_shape=(64, 64, 32), use_pallas: bool = False):
@@ -193,13 +199,17 @@ def preprocess_volume(vol, out_shape=(64, 64, 32), use_pallas: bool = False):
 # Shape-bucketed resample: one compiled program per bucket, not per CT shape
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("out_shape",))
-def _resample_normalize_bucketed(vol_padded, rz, ry, rx, valid_dhw, out_shape):
+@partial(jax.jit, static_argnames=("out_shape", "hu_window"))
+def _resample_normalize_bucketed(vol_padded, rz, ry, rx, valid_dhw, out_shape,
+                                 hu_window=None):
     """Like _resample_normalize_xla but for a volume embedded in a padded
     buffer. The interpolation matrices are RUNTIME inputs whose columns only
     touch the valid region, so the contraction ignores padding exactly; the
-    min/max for normalization are masked to the valid region."""
+    min/max for normalization are masked to the valid region (clipping the
+    padding for hu_window is harmless for the same reason)."""
     v = vol_padded.astype(jnp.float32)
+    if hu_window is not None:
+        v = jnp.clip(v, hu_window[0], hu_window[1])
     d, h, w = v.shape
     ii = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) < valid_dhw[0]
     jj = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) < valid_dhw[1]
@@ -220,7 +230,7 @@ def bucket_shape(shape, granularity=(32, 64, 64)):
 
 
 def resample_normalize_bucketed(vol, out_shape=(64, 64, 32),
-                                granularity=(32, 64, 64)):
+                                granularity=(32, 64, 64), hu_window=None):
     """Shape-bucketed resample+normalize.
 
     A real cohort has ~one distinct CT shape per patient (SURVEY: 142 imaging
@@ -243,4 +253,5 @@ def resample_normalize_bucketed(vol, out_shape=(64, 64, 32),
     return _resample_normalize_bucketed(
         jnp.asarray(padded), jnp.asarray(rz), jnp.asarray(ry),
         jnp.asarray(rx), jnp.asarray([d, h, w], jnp.int32),
-        tuple(out_shape))
+        tuple(out_shape),
+        tuple(hu_window) if hu_window is not None else None)

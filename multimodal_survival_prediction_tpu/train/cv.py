@@ -67,6 +67,7 @@ def run_cross_validation(
     dtype=None,
     remat: bool = False,
     use_pallas_resample: bool = False,
+    hu_window=None,
     num_epochs: int | None = None,
     write_outputs: bool = True,
     profile_dir: str | None = None,
@@ -91,6 +92,7 @@ def run_cross_validation(
     arrays = build_cohort_arrays(
         cohort, rnaseq_df, with_image=with_image,
         image_shape=cfg.image_shape, use_pallas=use_pallas_resample,
+        hu_window=hu_window,
     )
     rna_dim = arrays.arrays["rnaseq"].shape[1]
 

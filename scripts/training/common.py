@@ -46,6 +46,14 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype for encoders")
     p.add_argument("--pallas-resample", action="store_true")
+    p.add_argument("--hu-window", default=None,
+                   help="CT Hounsfield window 'lo,hi' (use the = form for "
+                        "negative bounds: --hu-window=-150,250) applied "
+                        "before normalization — capability the reference "
+                        "README claims but its code lacks; off by default "
+                        "for parity")
+    p.add_argument("--stage1-epochs", type=int, default=None,
+                   help="SimMLM expert-pretraining epochs (stage 1) override")
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--resume", action="store_true",
                    help="checkpoint full train state periodically and resume "
@@ -78,6 +86,9 @@ def run_training(args, cfg):
         num_epochs=args.epochs, n_folds=args.n_folds,
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         seed=args.seed,
+        stage1_epochs=(args.stage1_epochs
+                       if cfg.stage1_epochs and args.stage1_epochs is not None
+                       else None),
         image_shape=(tuple(int(x) for x in args.image_shape.split(","))
                      if args.image_shape else None),
     )
@@ -114,6 +125,8 @@ def run_training(args, cfg):
         mesh=mesh, tensor_parallel=args.tp > 1,
         backbone=args.backbone, dtype=dtype, remat=args.remat,
         use_pallas_resample=args.pallas_resample,
+        hu_window=(tuple(float(x) for x in args.hu_window.split(","))
+                   if args.hu_window else None),
         profile_dir=args.profile_dir,
         resume=args.resume, checkpoint_every=args.checkpoint_every,
     )

@@ -81,3 +81,34 @@ def test_batch_prefetcher_propagates_errors():
     with pytest.raises(RuntimeError, match="boom"):
         for _ in it:
             pass
+
+
+def test_native_read_preserves_int16_dtype(tmp_path, rng, monkeypatch):
+    """Raw path: trivial scl slope/inter -> the C++ reader keeps the on-disk
+    dtype (int16 CT), bit-identical to the pure-Python reader, with zero
+    conversion work (NIfTI x-fastest layout == C-order (D,H,W))."""
+    monkeypatch.setenv("MSP_NATIVE_IO", "1")
+    vol = rng.integers(-1024, 3072, size=(12, 20, 16)).astype(np.int16)
+    p = tmp_path / "ct.nii.gz"
+    write_nifti(p, vol, spacing=(0.7, 0.7, 2.5))
+    a = read_nifti_fast(p)
+    b = read_nifti(p)
+    assert a.data.dtype == np.int16 == b.data.dtype
+    np.testing.assert_array_equal(a.data, b.data)
+    np.testing.assert_array_equal(a.data, vol)
+
+
+def test_native_read_corrupt_vox_offset_degrades(tmp_path, rng, monkeypatch):
+    """Corrupt vox_offset must degrade to the pure-Python fallback (which
+    raises), not read out of bounds (ADVICE r1 medium)."""
+    import struct
+
+    monkeypatch.setenv("MSP_NATIVE_IO", "1")
+    vol = rng.integers(0, 100, size=(4, 4, 4)).astype(np.int16)
+    p = tmp_path / "bad.nii"
+    write_nifti(p, vol)
+    raw = bytearray(p.read_bytes())
+    struct.pack_into("<f", raw, 108, 1e9)  # vox_offset far past EOF
+    p.write_bytes(bytes(raw))
+    with pytest.raises(Exception):
+        read_nifti_fast(p)  # C++ rejects -> python fallback raises too

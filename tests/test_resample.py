@@ -87,3 +87,48 @@ def test_hu_window(rng):
     out = np.asarray(resample_normalize(vol, (8, 8, 8),
                                         hu_window=(-150, 250)))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_hu_window_bucketed_and_pallas(rng):
+    """HU windowing plumbed through the production ingest paths (bucketed +
+    pallas) matches scipy clip->normalize->zoom."""
+    from multimodal_survival_prediction_tpu.ops.resample import (
+        resample_normalize_bucketed,
+        resample_normalize_pallas,
+    )
+
+    vol = rng.normal(0, 500, size=(20, 24, 18)).astype(np.float32)
+    ref = golden(np.clip(vol, -150, 250), (8, 8, 8))
+    b = np.asarray(resample_normalize_bucketed(vol, (8, 8, 8),
+                                               hu_window=(-150, 250)))
+    np.testing.assert_allclose(b, ref, atol=2e-5)
+    p = np.asarray(resample_normalize_pallas(vol, (8, 8, 8),
+                                             hu_window=(-150, 250)))
+    np.testing.assert_allclose(p, ref, atol=2e-5)
+
+
+def test_hu_window_through_cohort_build(tmp_path, rng):
+    """--hu-window path: build_cohort_arrays with a window produces clipped
+    volumes (differs from unwindowed when out-of-window values exist)."""
+    import pandas as pd
+
+    from multimodal_survival_prediction_tpu.data.datasets import (
+        build_cohort_arrays,
+    )
+    from multimodal_survival_prediction_tpu.data.nifti import write_nifti
+
+    vol = rng.normal(0, 500, size=(16, 16, 12)).astype(np.float32)
+    path = tmp_path / "v.nii.gz"
+    write_nifti(path, vol)
+    table = pd.DataFrame([dict(
+        patient_id="P0", nifti_path=str(path), has_imaging=True,
+        has_rnaseq=False, has_clinical=False, age=np.nan,
+        survival_time=100.0, survival_status=1, has_survival=True)])
+    a1 = build_cohort_arrays(table, None, with_image=True,
+                             image_shape=(8, 8, 8))
+    a2 = build_cohort_arrays(table, None, with_image=True,
+                             image_shape=(8, 8, 8), hu_window=(-150, 250))
+    assert a1.arrays["mask"][0, 0] == 1.0 and a2.arrays["mask"][0, 0] == 1.0
+    assert not np.allclose(a1.arrays["image"], a2.arrays["image"])
+    ref = golden(np.clip(vol, -150, 250), (8, 8, 8))
+    np.testing.assert_allclose(a2.arrays["image"][0, ..., 0], ref, atol=2e-4)
