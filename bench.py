@@ -83,18 +83,19 @@ def _compiled_flops(compiled):
         return None
 
 
-STEPS_PER_DISPATCH = 16  # lax.scan chunk length of the timed train program
+STEPS_PER_DISPATCH = 64  # lax.scan chunk length of the timed train program
 
 
-def measure_train_steps_per_sec(dtype=None, timed_dispatches=6, discard=1):
-    """Times a 16-step ``lax.scan`` chunk program (one dispatch per 16 train
+def measure_train_steps_per_sec(dtype=None, timed_dispatches=3, discard=1):
+    """Times a 64-step ``lax.scan`` chunk program (one dispatch per 64 train
     steps). A per-step program is dispatch-bound through the axon tunnel
     (~10-25 ms/call depending on tunnel weather — measured 48-102 steps/s for
-    the SAME compute across days), while the chunk amortizes dispatch to
-    ~1.3 ms/step and reads out the real device step time; its remote compile
-    costs the same as the single-step program (measured 217 s vs 250 s).
-    This mirrors the production whole-epoch scan path (train/engine.py)
-    modulo the cohort gather. Returns (steps/sec, flops_per_step)."""
+    the SAME compute across days; each dispatch+readback carries ~27 ms of
+    fixed cost), while the chunk amortizes dispatch to <0.5 ms/step and
+    reads out the real device step time; a scan's remote compile costs the
+    same as the single-step program (measured 217 s vs 250 s). This mirrors
+    the production whole-epoch scan path (train/engine.py) modulo the cohort
+    gather. Returns (steps/sec, flops_per_step)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -218,29 +219,31 @@ def measure_preprocess_vols_per_sec(timed=8):
     np.asarray(out)
     end_to_end = timed / (time.perf_counter() - t0)
 
-    # kernel-only: device-resident input, K kernel invocations inside ONE
-    # program (one dispatch costs ~5 ms through the tunnel — a per-call loop
-    # would measure dispatch latency, not the kernel). optimization_barrier
-    # gives each invocation a distinct operand so CSE can't collapse the K
-    # identical resamples.
+    # kernel-only: device-resident input, K=128 invocations inside ONE
+    # lax.scan program. The ~27 ms dispatch+readback cost of any program on
+    # the axon tunnel must be amortized over many iterations or it IS the
+    # measurement (at K=32 it inflated 0.7 ms/vol to 2 ms/vol). `c + i`
+    # varies the input per iteration so loop-invariant code motion can't
+    # hoist the resample out of the loop — at the price of one extra int16
+    # HBM copy per iteration (~0.2 ms), so this number is conservative.
     import jax.numpy as jnp
 
-    K = 32
+    K = 128
 
     @jax.jit
     def k_resamples(v):
-        outs = []
-        for _ in range(K):
-            outs.append(fn(v, IMAGE_SHAPE))
-            v = jax.lax.optimization_barrier(v)
-        return jnp.stack(outs)
+        def body(c, i):
+            return c, fn(c + i, IMAGE_SHAPE).sum()
+
+        _, ys = jax.lax.scan(body, v, jnp.arange(K, dtype=v.dtype))
+        return ys
 
     dvol = jnp.asarray(vol)
     out = k_resamples(dvol)
-    np.asarray(out[0])
+    np.asarray(out)[:1]
     t0 = time.perf_counter()
     out = k_resamples(dvol)
-    np.asarray(out[0])
+    np.asarray(out)[:1]
     kernel_only = K / (time.perf_counter() - t0)
     return end_to_end, kernel_only
 

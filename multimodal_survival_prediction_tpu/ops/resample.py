@@ -100,7 +100,10 @@ def _wpass_kernel(vol_ref, rxt_ref, out_ref, mn_ref, mx_ref, *,
     rows are sliced away afterwards."""
     i = pl.program_id(0)
 
-    tile = vol_ref[...]
+    # native-dtype tile (int16 CTs) converted in-register: the volume
+    # crosses HBM once in its on-disk width instead of via a separate
+    # full-size float32 materialization pass (2x traffic on int16)
+    tile = vol_ref[...].astype(jnp.float32)
     if hu_window is not None:
         # CT Hounsfield windowing, fused into the same single HBM read
         tile = jnp.clip(tile, hu_window[0], hu_window[1])
@@ -126,7 +129,11 @@ def _wpass_kernel(vol_ref, rxt_ref, out_ref, mn_ref, mx_ref, *,
 def _resample_normalize_pallas(vol, out_shape, rows, hu_window=None):
     from jax.experimental.pallas import tpu as pltpu
 
-    vol = vol.astype(jnp.float32)
+    # float64 (rare) isn't a TPU VMEM dtype; every other supported input
+    # (u)int8/16/32, float32 streams through the kernel in its native width
+    # and converts in-register (see _wpass_kernel)
+    if vol.dtype == jnp.float64:
+        vol = vol.astype(jnp.float32)
     d, h, w = vol.shape
     do, ho, wo = out_shape
     rzn, ryn, rxn = (linear_interp_matrix(i, o)

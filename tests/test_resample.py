@@ -132,3 +132,20 @@ def test_hu_window_through_cohort_build(tmp_path, rng):
     assert not np.allclose(a1.arrays["image"], a2.arrays["image"])
     ref = golden(np.clip(vol, -150, 250), (8, 8, 8))
     np.testing.assert_allclose(a2.arrays["image"][0, ..., 0], ref, atol=2e-4)
+
+
+def test_pallas_int16_native_dtype(rng):
+    """Pallas path consumes int16 CTs natively (converted in-register; no
+    f32 materialization pass) — matches the f32 XLA path bit-for-bit."""
+    from multimodal_survival_prediction_tpu.ops.resample import (
+        resample_normalize,
+        resample_normalize_pallas,
+    )
+
+    vol = rng.integers(-1024, 3072, size=(24, 32, 16), dtype=np.int16)
+    ref = np.asarray(resample_normalize(vol.astype(np.float32), (8, 8, 8)))
+    out = np.asarray(resample_normalize_pallas(vol, (8, 8, 8)))
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+    # golden vs scipy as well
+    g = golden(vol.astype(np.float32), (8, 8, 8))
+    np.testing.assert_allclose(out, g, atol=2e-5)
