@@ -95,7 +95,7 @@ def measure_train_steps_per_sec(dtype=None, timed_dispatches=3, discard=1):
     reads out the real device step time; a scan's remote compile costs the
     same as the single-step program (measured 217 s vs 250 s). This mirrors
     the production whole-epoch scan path (train/engine.py) modulo the cohort
-    gather. Returns (steps/sec, flops_per_step)."""
+    gather. Returns (steps/sec, flops_per_step, flops_source)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -127,7 +127,11 @@ def measure_train_steps_per_sec(dtype=None, timed_dispatches=3, discard=1):
         lambda s: np.zeros(s.shape, s.dtype), shapes))
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
-    opt_state = tx.init(params)
+    # optimizer state the same way: eager tx.init would dispatch zeros_like
+    # per Adam-moment leaf (each a tunnel round trip)
+    opt_state = jax.device_put(jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype),
+        jax.eval_shape(tx.init, params)))
 
     def loss_fn(p, bs, b, key):
         (hazard, gates), mut = model.apply(
@@ -153,6 +157,7 @@ def measure_train_steps_per_sec(dtype=None, timed_dispatches=3, discard=1):
     key = jax.random.PRNGKey(1)
     dkey = "bf16" if dtype == jnp.bfloat16 else "fp32"
     flops = PINNED_FLOPS.get((dkey, BATCH, IMAGE_SHAPE, RNA_DIM))
+    flops_src = "pinned" if flops else None
     if os.environ.get("BENCH_COST_ANALYSIS") == "1":
         # opt-in live re-derivation: AOT compile is a second remote compile.
         # Analyzed on the SINGLE-step program; the chunk body is identical,
@@ -165,9 +170,11 @@ def measure_train_steps_per_sec(dtype=None, timed_dispatches=3, discard=1):
 
         compiled = jax.jit(train_step).lower(
             params, batch_stats, opt_state, batch, key).compile()
-        flops = _compiled_flops(compiled) or flops
-        print(f"[bench] cost_analysis({dkey}): {flops} flops/step",
-              file=sys.stderr)
+        live = _compiled_flops(compiled)
+        if live:
+            flops, flops_src = live, "live"
+        print(f"[bench] cost_analysis({dkey}): {live} flops/step (live); "
+              f"using {flops_src}", file=sys.stderr)
 
     K = STEPS_PER_DISPATCH
     step = jax.jit(chunk, donate_argnums=(0, 1, 2))
@@ -188,7 +195,8 @@ def measure_train_steps_per_sec(dtype=None, timed_dispatches=3, discard=1):
             params, batch_stats, opt_state, batch,
             jax.random.split(jax.random.fold_in(key, 100 + i), K))
     float(loss)
-    return (timed_dispatches * K / (time.perf_counter() - t0), flops)
+    return (timed_dispatches * K / (time.perf_counter() - t0), flops,
+            flops_src)
 
 
 def measure_preprocess_vols_per_sec(timed=8):
@@ -226,25 +234,33 @@ def measure_preprocess_vols_per_sec(timed=8):
     # varies the input per iteration so loop-invariant code motion can't
     # hoist the resample out of the loop — at the price of one extra int16
     # HBM copy per iteration (~0.2 ms), so this number is conservative.
+    import traceback
+
     import jax.numpy as jnp
 
     K = 128
 
-    @jax.jit
-    def k_resamples(v):
-        def body(c, i):
-            return c, fn(c + i, IMAGE_SHAPE).sum()
+    try:
+        @jax.jit
+        def k_resamples(v):
+            def body(c, i):
+                return c, fn(c + i, IMAGE_SHAPE).sum()
 
-        _, ys = jax.lax.scan(body, v, jnp.arange(K, dtype=v.dtype))
-        return ys
+            _, ys = jax.lax.scan(body, v, jnp.arange(K, dtype=v.dtype))
+            return ys
 
-    dvol = jnp.asarray(vol)
-    out = k_resamples(dvol)
-    np.asarray(out)[:1]
-    t0 = time.perf_counter()
-    out = k_resamples(dvol)
-    np.asarray(out)[:1]
-    kernel_only = K / (time.perf_counter() - t0)
+        dvol = jnp.asarray(vol)
+        out = k_resamples(dvol)
+        np.asarray(out)[:1]
+        t0 = time.perf_counter()
+        out = k_resamples(dvol)
+        np.asarray(out)[:1]
+        kernel_only = K / (time.perf_counter() - t0)
+    except Exception:
+        # independent phase: a kernel-measurement failure must not discard
+        # the already-measured end-to-end number
+        traceback.print_exc(file=sys.stderr)
+        kernel_only = None
     return end_to_end, kernel_only
 
 
@@ -341,16 +357,17 @@ def main():
 
     bf16 = _try("train_bf16", measure_train_steps_per_sec,
                 dtype=jnp.bfloat16)
-    bf16_steps, bf16_flops = bf16 if bf16 else (None, None)
+    bf16_steps, bf16_flops, bf16_src = bf16 if bf16 else (None, None, None)
     print(f"[bench] train bf16: {bf16_steps} steps/s "
           f"({bf16_flops} flops/step)", file=sys.stderr)
 
-    fp32_steps, fp32_flops = None, None
+    fp32_steps, fp32_flops, fp32_src = None, None, None
     if os.environ.get("BENCH_FP32") == "1":
         # opt-in: a second train program is another multi-minute remote
         # compile on the axon tunnel
         fp32 = _try("train_fp32", measure_train_steps_per_sec)
-        fp32_steps, fp32_flops = fp32 if fp32 else (None, None)
+        fp32_steps, fp32_flops, fp32_src = fp32 if fp32 else (None, None,
+                                                           None)
         print(f"[bench] train fp32: {fp32_steps} steps/s", file=sys.stderr)
 
     pre = _try("preprocess", measure_preprocess_vols_per_sec)
@@ -390,6 +407,7 @@ def main():
 
     peak = PEAK_FLOPS.get(backend)
     flops = bf16_flops if headline_dtype == "bf16" else fp32_flops
+    flops_src = bf16_src if headline_dtype == "bf16" else fp32_src
 
     def _mfu(steps, fl):
         if steps and fl and peak:
@@ -409,10 +427,10 @@ def main():
         "train_steps_per_sec_fp32": (round(fp32_steps, 3)
                                      if fp32_steps else None),
         "flops_per_step": flops,
-        "flops_source": ("cost_analysis(live)"
-                         if os.environ.get("BENCH_COST_ANALYSIS") == "1"
-                         else "cost_analysis(pinned 2026-08-16, see "
-                              "PINNED_FLOPS)") if flops else None,
+        "flops_source": ({"live": "cost_analysis(live)",
+                          "pinned": "cost_analysis(pinned 2026-08-16, see "
+                                    "PINNED_FLOPS)"}.get(flops_src)
+                         if flops else None),
         "mfu_pct": _mfu(steps_per_sec, flops),
         "peak_flops": peak,  # v5e bf16 peak when backend == tpu
         "preprocess_vols_per_sec": (round(vols_per_sec, 3)

@@ -8,7 +8,7 @@ KFold(3, shuffle, seed 42), 50 epochs, no grad clip, no early stop, pooled
 per-epoch validation C-index, best-epoch selection — so the JAX build can be
 compared against a live torch oracle on the SAME synthetic cohort with
 bit-identical fold splits (scripts/analysis/run_parity.py drives both and
-writes PARITY.md).
+writes PARITY_TWIN.md + parity_results.json).
 
 Two deliberate choices, documented:
   * Cox loss uses the stable sorted-logcumsumexp form (reference

@@ -367,7 +367,10 @@ class Trainer:
                                      sharding=sharding):
             state, key, loss = self._train_step_fn(state, batch, lr_arr, key)
             losses.append(loss)
-        return state, float(np.mean([float(l) for l in losses]))
+        # ONE readback for the whole epoch: fetching each scalar would pay
+        # the per-readback dispatch cost every step (and serialize the
+        # prefetch pipeline against the device)
+        return state, float(jnp.mean(jnp.stack(losses)))
 
     def evaluate(self, state, data, indices):
         """Pooled C-index / mean loss / per-sample hazards over `indices`."""

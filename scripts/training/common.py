@@ -82,13 +82,15 @@ def run_training(args, cfg):
         format="%(asctime)s %(levelname)s %(message)s",
     )
 
+    if args.stage1_epochs is not None and not cfg.stage1_epochs:
+        raise SystemExit(
+            f"--stage1-epochs only applies to two-stage models (SimMLM); "
+            f"'{cfg.name}' has no stage 1")
     cfg = cfg.with_overrides(
         num_epochs=args.epochs, n_folds=args.n_folds,
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         seed=args.seed,
-        stage1_epochs=(args.stage1_epochs
-                       if cfg.stage1_epochs and args.stage1_epochs is not None
-                       else None),
+        stage1_epochs=args.stage1_epochs,
         image_shape=(tuple(int(x) for x in args.image_shape.split(","))
                      if args.image_shape else None),
     )

@@ -7,7 +7,8 @@ from multimodal_survival_prediction_tpu.ops import concordance_index
 
 
 def loop_cindex_naive(hazard, time, event):
-    """Reference hand-rolled variant (reference train_rnaseq_only.py:55-70)."""
+    """Reference hand-rolled variant (reference train_rnaseq_only.py:55-70):
+    strictly `hazard[i] > hazard[j]` — tied predictions get 0 credit."""
     concordant, total = 0.0, 0
     n = len(time)
     for i in range(n):
@@ -18,8 +19,6 @@ def loop_cindex_naive(hazard, time, event):
                 total += 1
                 if hazard[i] > hazard[j]:
                     concordant += 1
-                elif hazard[i] == hazard[j]:
-                    concordant += 0.5
     return concordant / total if total > 0 else 0.5
 
 
@@ -84,3 +83,18 @@ def test_valid_mask(rng):
     assert float(concordance_index(hp, tp, ep, valid=vp)) == pytest.approx(
         base, abs=1e-6
     )
+
+
+def test_naive_tie_credit_is_zero():
+    """Tied predictions: naive (reference double loop) gives 0 credit,
+    Harrell gives 0.5 — the ADVICE r1 divergence, now pinned both ways."""
+    hazard = np.array([1.0, 1.0, 2.0, 0.0], np.float32)
+    time = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+    event = np.ones(4, np.float32)
+    naive = float(concordance_index(hazard, time, event, variant="naive"))
+    harrell = float(concordance_index(hazard, time, event, variant="harrell"))
+    assert naive == pytest.approx(loop_cindex_naive(hazard, time, event))
+    assert harrell == pytest.approx(loop_cindex_harrell(hazard, time, event))
+    assert naive != harrell  # pair (0,1) is tied: 0 vs 0.5 credit
+    assert naive == pytest.approx(3.0 / 6.0)
+    assert harrell == pytest.approx(3.5 / 6.0)
