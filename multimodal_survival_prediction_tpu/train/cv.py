@@ -55,6 +55,58 @@ class FoldOutcome:
     history: list = field(default_factory=list)
 
 
+def prepare_cv_data(cfg: ModelRunConfig, table: pd.DataFrame, rnaseq_csv=None,
+                    use_pallas_resample: bool = False, hu_window=None):
+    """Cohort selection + array build + seed-42 KFold splits.
+
+    Shared by the sequential driver below and the fold-parallel driver
+    (cv_parallel.py) so both see bit-identical cohorts and splits.
+
+    Returns (arrays, splits) where splits is a list of
+    (train_rows, val_rows, train_survival_size_or_None) — with the
+    partial-modality trick applied: ALL unlabeled patients appended to every
+    fold's train set (reference partial_modality_training.py:502-515).
+    """
+    name = cfg.name
+    cohort = select_cohort(table, name)
+    rnaseq_df = None
+    if "rnaseq" in cfg.modalities and rnaseq_csv is not None:
+        rnaseq_df = load_rnaseq_matrix(rnaseq_csv)
+        if name == "rnaseq_only":
+            # reference intersects with the matrix index
+            # (train_rnaseq_only.py:239); order kept deterministic (sorted)
+            keep = cohort.patient_id.isin(set(rnaseq_df.index))
+            cohort = cohort[keep]
+
+    arrays = build_cohort_arrays(
+        cohort, rnaseq_df, with_image="image" in cfg.modalities,
+        image_shape=cfg.image_shape, use_pallas=use_pallas_resample,
+        hu_window=hu_window,
+    )
+
+    # Survival-labeled vs unlabeled split (partial-modality fold trick)
+    svalid = arrays.arrays["svalid"] > 0
+    labeled_rows = np.nonzero(svalid)[0]
+    unlabeled_rows = np.nonzero(~svalid)[0]
+    # Non-partial models select only labeled patients at the cohort level, so
+    # their fold universe is every row; partial_modality folds over labeled
+    # rows only and appends the unlabeled to each train set below.
+    fold_rows = (labeled_rows if cfg.include_unlabeled_in_train
+                 else np.arange(arrays.n))
+
+    kfold = KFold(n_splits=cfg.n_folds, shuffle=True, random_state=cfg.seed)
+    splits = []
+    for tr_idx, va_idx in kfold.split(fold_rows):
+        train_rows = fold_rows[tr_idx]
+        val_rows = fold_rows[va_idx]
+        train_survival_size = None
+        if cfg.include_unlabeled_in_train:
+            train_survival_size = len(train_rows)
+            train_rows = np.concatenate([train_rows, unlabeled_rows])
+        splits.append((train_rows, val_rows, train_survival_size))
+    return arrays, splits
+
+
 def run_cross_validation(
     cfg: ModelRunConfig,
     table: pd.DataFrame,
@@ -78,33 +130,10 @@ def run_cross_validation(
     name = cfg.name
     num_epochs = num_epochs or cfg.num_epochs
 
-    cohort = select_cohort(table, name)
-    rnaseq_df = None
-    if "rnaseq" in cfg.modalities and rnaseq_csv is not None:
-        rnaseq_df = load_rnaseq_matrix(rnaseq_csv)
-        if name == "rnaseq_only":
-            # reference intersects with the matrix index
-            # (train_rnaseq_only.py:239); order kept deterministic (sorted)
-            keep = cohort.patient_id.isin(set(rnaseq_df.index))
-            cohort = cohort[keep]
-
-    with_image = "image" in cfg.modalities
-    arrays = build_cohort_arrays(
-        cohort, rnaseq_df, with_image=with_image,
-        image_shape=cfg.image_shape, use_pallas=use_pallas_resample,
-        hu_window=hu_window,
-    )
+    arrays, splits = prepare_cv_data(
+        cfg, table, rnaseq_csv=rnaseq_csv,
+        use_pallas_resample=use_pallas_resample, hu_window=hu_window)
     rna_dim = arrays.arrays["rnaseq"].shape[1]
-
-    # Survival-labeled vs unlabeled split (partial-modality fold trick)
-    svalid = arrays.arrays["svalid"] > 0
-    labeled_rows = np.nonzero(svalid)[0]
-    unlabeled_rows = np.nonzero(~svalid)[0]
-    # Non-partial models select only labeled patients at the cohort level, so
-    # their fold universe is every row; partial_modality folds over labeled
-    # rows only and appends the unlabeled to each train set below.
-    fold_rows = (labeled_rows if cfg.include_unlabeled_in_train
-                 else np.arange(arrays.n))
 
     model, batch_to_inputs, hazard_and_aux = make_model_and_adapters(
         cfg, rna_dim=rna_dim, backbone=backbone, dtype=dtype, remat=remat)
@@ -119,7 +148,6 @@ def run_cross_validation(
 
     data = arrays.to_device(mesh=mesh)
 
-    kfold = KFold(n_splits=cfg.n_folds, shuffle=True, random_state=cfg.seed)
     outcomes: list[FoldOutcome] = []
     t_start = _time.monotonic()
     total_steps = 0
@@ -142,15 +170,8 @@ def run_cross_validation(
     example = {k: v[:cfg.batch_size] for k, v in data.items()}
     example["valid"] = example["svalid"]
 
-    for fold, (tr_idx, va_idx) in enumerate(
-            kfold.split(fold_rows), start=1):
-        train_rows = fold_rows[tr_idx]
-        val_rows = fold_rows[va_idx]
-        train_survival_size = None
-        if cfg.include_unlabeled_in_train:
-            train_survival_size = len(train_rows)
-            train_rows = np.concatenate([train_rows, unlabeled_rows])
-
+    for fold, (train_rows, val_rows, train_survival_size) in enumerate(
+            splits, start=1):
         state = trainer.init_state(example, fold=fold)
 
         shuffle_rng = np.random.default_rng(cfg.seed + fold)

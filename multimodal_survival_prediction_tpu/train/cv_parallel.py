@@ -1,0 +1,399 @@
+"""Fold-parallel cross-validation: every fold trained SIMULTANEOUSLY.
+
+A capability the reference cannot express: its folds run strictly
+sequentially (reference partial_modality_training.py:516-560 — a Python
+`for fold` loop re-creating model/optimizer per fold). Here the K per-fold
+training states are stacked along a leading fold axis, the whole-epoch
+``lax.scan`` (train/engine.py) is ``jax.vmap``-ed over that axis, and the
+fold axis is sharded over a device mesh — K folds advance one epoch in ONE
+dispatch with ZERO cross-fold communication (each device group trains its
+own folds against its local copy of the HBM-resident cohort; the models are
+<40 MB so replicating the cohort + K states is cheap).
+
+Wall-clock: on an N-device mesh this is ~min(K, N)× the sequential driver;
+on a SINGLE chip it is still faster than sequential CV because the vmapped
+convolutions batch K folds together (effective batch K·B), directly
+attacking the small-batch underutilization documented in docs/PERF.md.
+
+Trajectory fidelity to the sequential driver (train/cv.py) — same:
+  * per-fold init RNG (``fold_in(PRNGKey(seed), fold)``),
+  * per-fold shuffle RNG (``np.random.default_rng(seed + fold)``) and batch
+    order (identical ``Trainer._pad_indices`` padding),
+  * per-fold dropout-key chain (split once per epoch, then per step),
+  * per-fold LR schedule (cosine / per-fold ReduceLROnPlateau),
+  * best-checkpoint-by-val-C-index + early stopping semantics.
+Fold step-count differences (train sets differ by ±1 patient) are handled by
+masking WHOLE steps: padded steps pass the carried state through unchanged
+(``jnp.where`` select), so a fold's parameter trajectory here matches its
+sequential counterpart exactly (verified to float tolerance in
+tests/test_cv_parallel.py). Early-stopped folds keep computing (their
+records are frozen on the host) — total wall-clock is the SLOWEST fold's
+stop epoch, not the sum.
+
+Not supported in this driver: resume checkpoints (use the sequential driver
+for resumable long runs) and streaming ingest (fold-parallel implies the
+cohort is device-resident).
+"""
+
+from __future__ import annotations
+
+import logging
+import time as _time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+
+from ..config import ModelRunConfig
+from ..io.checkpoint import save_checkpoint
+from ..io.results import write_cv_results
+from ..ops.cindex import concordance_index
+from ..ops.cox import cox_partial_likelihood
+from .adapters import make_model_and_adapters
+from .cv import FoldOutcome, prepare_cv_data
+from .engine import TrainConfig, Trainer, TrainState
+from .schedules import ReduceLROnPlateau, cosine_annealing
+
+log = logging.getLogger(__name__)
+
+
+def make_fold_mesh(n_devices: int | None = None):
+    """A 1-D mesh with a single 'fold' axis over the first n devices."""
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    return Mesh(np.asarray(devices[:n_devices]), ("fold",))
+
+
+def _fold_sharding(mesh, axis_name):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(axis_name))
+
+
+def _stack_states(states):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _build_parallel_train_epoch(trainer: Trainer):
+    """vmap-over-folds version of Trainer._build_train_epoch with whole-step
+    masking: a step whose bvalid row is all-zero (cross-fold step-count
+    padding) passes the carried state through unchanged, so shorter folds'
+    trajectories are unaffected by the shared scan length."""
+    grad_fn = jax.value_and_grad(trainer._loss_fn, has_aux=True)
+    tx = trainer.tx
+
+    def fold_epoch(state, data, perm, bvalid, rng, lr):
+        def step(carry, xs):
+            st, key = carry
+            idx, bv = xs
+            batch = trainer._gather_batch(data, idx, bv)
+            key, dkey = jax.random.split(key)
+            (loss, new_bs), grads = grad_fn(
+                st.params, st.batch_stats, batch, dkey)
+            updates, new_opt = tx.update(grads, st.opt_state, st.params, lr)
+            new_st = TrainState(
+                params=optax.apply_updates(st.params, updates),
+                batch_stats=new_bs, opt_state=new_opt, step=st.step + 1)
+            valid = jnp.max(bv) > 0
+            st = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(valid, new, old), st, new_st)
+            return (st, key), jnp.where(valid, loss, 0.0)
+
+        (state, _), losses = jax.lax.scan(step, (state, rng), (perm, bvalid))
+        n_valid = jnp.maximum(jnp.sum(jnp.max(bvalid, axis=1) > 0), 1)
+        return state, jnp.sum(losses) / n_valid
+
+    vmapped = jax.vmap(fold_epoch, in_axes=(0, None, 0, 0, 0, 0))
+    return jax.jit(vmapped, donate_argnums=(0,))
+
+
+def _build_parallel_eval(trainer: Trainer):
+    """vmap-over-folds pooled validation: (K,) C-index + (K,) mean loss.
+    Fully-masked padding steps (val sizes differ across folds) contribute
+    nothing: their rows are excluded from the pooled C-index by ``svalid``
+    and from the mean loss by the valid-step count."""
+
+    def eval_fold(params, batch_stats, data, idx, bvalid):
+        variables = {"params": params, "batch_stats": batch_stats,
+                     **trainer._extra_collections}
+
+        def body(_, xs):
+            bidx, bv = xs
+            batch = trainer._gather_batch(data, bidx, bv)
+            out = trainer.model.apply(
+                variables, *trainer.batch_to_inputs(batch), train=False)
+            hazard, _ = trainer.hazard_and_aux(out, batch)
+            loss = cox_partial_likelihood(
+                hazard, batch["time"], batch["event"],
+                valid=batch["svalid"], ties=trainer.cfg.ties)
+            return None, (hazard, batch["time"], batch["event"],
+                          batch["svalid"], loss)
+
+        _, (h, t, e, sv, losses) = jax.lax.scan(body, None, (idx, bvalid))
+        h, t, e, sv = (x.reshape(-1) for x in (h, t, e, sv))
+        cindex = concordance_index(h, t, e, valid=sv)
+        step_valid = jnp.max(bvalid, axis=1) > 0
+        loss = (jnp.sum(jnp.where(step_valid, losses, 0.0))
+                / jnp.maximum(jnp.sum(step_valid), 1))
+        return cindex, loss
+
+    vmapped = jax.vmap(eval_fold, in_axes=(0, 0, None, 0, 0))
+    return jax.jit(vmapped)
+
+
+def _stack_fold_indices(per_fold, batch_size, rngs):
+    """Per-fold _pad_indices, then pad step counts to the cross-fold max with
+    fully-invalid steps (idx 0, bvalid 0 — masked out as whole steps)."""
+    padded = [Trainer._pad_indices(rows, batch_size, rng)
+              for rows, rng in zip(per_fold, rngs)]
+    steps = max(p[0].shape[0] for p in padded)
+    idxs, bvalids = [], []
+    for idx, bv in padded:
+        extra = steps - idx.shape[0]
+        if extra:
+            idx = np.concatenate(
+                [idx, np.zeros((extra, batch_size), np.int32)])
+            bv = np.concatenate(
+                [bv, np.zeros((extra, batch_size), np.float32)])
+        idxs.append(idx)
+        bvalids.append(bv)
+    return np.stack(idxs), np.stack(bvalids)
+
+
+def run_cross_validation_parallel(
+    cfg: ModelRunConfig,
+    table: pd.DataFrame,
+    rnaseq_csv=None,
+    results_dir="results",
+    models_dir="models",
+    mesh=None,
+    fold_axis: str = "fold",
+    backbone: str = "densenet121",
+    dtype=None,
+    remat: bool = False,
+    use_pallas_resample: bool = False,
+    hu_window=None,
+    num_epochs: int | None = None,
+    write_outputs: bool = True,
+):
+    """Fold-parallel CV run for one model config.
+
+    Args:
+      mesh: optional mesh whose ``fold_axis`` axis the stacked fold states
+        are sharded over (``make_fold_mesh``). None = vmap on one device.
+      fold_axis: mesh axis name carrying the fold dimension.
+
+    Returns (payload, fold_outcomes) with the same schema as the sequential
+    ``run_cross_validation`` — fold results are interchangeable.
+    """
+    name = cfg.name
+    num_epochs = num_epochs or cfg.num_epochs
+
+    arrays, splits = prepare_cv_data(
+        cfg, table, rnaseq_csv=rnaseq_csv,
+        use_pallas_resample=use_pallas_resample, hu_window=hu_window)
+    rna_dim = arrays.arrays["rnaseq"].shape[1]
+    n_folds = len(splits)
+
+    # pad the fold axis to a multiple of the mesh axis size (dummy folds
+    # reuse the last split's rows; they compute but are never recorded)
+    shard_n = dict(mesh.shape).get(fold_axis, 1) if mesh is not None else 1
+    k_pad = -(-n_folds // shard_n) * shard_n
+    padded_splits = splits + [splits[-1]] * (k_pad - n_folds)
+
+    model, batch_to_inputs, hazard_and_aux = make_model_and_adapters(
+        cfg, rna_dim=rna_dim, backbone=backbone, dtype=dtype, remat=remat)
+    tcfg = TrainConfig(
+        batch_size=cfg.batch_size,
+        learning_rate=cfg.learning_rate,
+        weight_decay=cfg.weight_decay,
+        optimizer=cfg.optimizer,
+        grad_clip=cfg.grad_clip,
+        seed=cfg.seed,
+    )
+    trainer = Trainer(model, batch_to_inputs, hazard_and_aux, tcfg)
+
+    data = arrays.to_device(mesh=mesh)
+    example = {k: v[:cfg.batch_size] for k, v in data.items()}
+    example["valid"] = example["svalid"]
+
+    t_start = _time.monotonic()
+
+    # ---- stacked per-fold state (same per-fold init RNG as sequential) ----
+    states = [trainer.init_state(example, fold=f)
+              for f in range(1, k_pad + 1)]
+    state = _stack_states(states)
+    del states
+    if mesh is not None:
+        sh = _fold_sharding(mesh, fold_axis)
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), state)
+
+    def put(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, sh) if mesh is not None else x
+
+    train_fn = _build_parallel_train_epoch(trainer)
+    eval_fn = _build_parallel_eval(trainer)
+
+    # host-side per-fold bookkeeping, mirroring the sequential driver
+    shuffle_rngs = [np.random.default_rng(cfg.seed + f)
+                    for f in range(1, k_pad + 1)]
+    dropout_keys = jnp.stack(
+        [jax.random.PRNGKey(cfg.seed * 1000 + f)
+         for f in range(1, k_pad + 1)])
+    plateaus = [ReduceLROnPlateau(lr=cfg.learning_rate)
+                for _ in range(k_pad)]
+    lrs = np.full(k_pad, cfg.learning_rate, np.float64)
+
+    train_rows = [s[0] for s in padded_splits]
+    val_rows = [s[1] for s in padded_splits]
+    # eval indices are epoch-invariant: build + place once
+    eidx, ebv = _stack_fold_indices(
+        val_rows, tcfg.eval_batch_size, [None] * k_pad)
+    eidx, ebv = put(eidx), put(ebv)
+
+    total_steps = 0
+
+    def run_stacked_epoch(fn, st, keys, lr_vec):
+        nonlocal total_steps
+        idx, bv = _stack_fold_indices(
+            train_rows, cfg.batch_size, shuffle_rngs)
+        st, losses = fn(st, data, put(idx), put(bv), keys,
+                        put(np.asarray(lr_vec, np.float32)))
+        total_steps += int(bv.max(axis=2).sum())
+        return st, losses
+
+    # ---- stage 1 (SimMLM expert pretraining): fixed LR, no selection ----
+    if cfg.stage1_epochs:
+        from .adapters import simmlm_stage1_adapter
+
+        s1_trainer = Trainer(model, batch_to_inputs,
+                             simmlm_stage1_adapter(), tcfg)
+        s1_trainer._extra_collections = trainer._extra_collections
+        s1_fn = _build_parallel_train_epoch(s1_trainer)
+        for epoch in range(1, cfg.stage1_epochs + 1):
+            split = jax.vmap(jax.random.split)(dropout_keys)
+            dropout_keys, eks = split[:, 0], split[:, 1]
+            state, s1_loss = run_stacked_epoch(
+                s1_fn, state, eks, np.full(k_pad, cfg.learning_rate))
+            if epoch % 10 == 0 or epoch == 1:
+                log.info("[%s parallel] stage1 epoch %d mean loss %.4f",
+                         name, epoch, float(jnp.mean(s1_loss)))
+
+    # ---- main epochs: all folds advance together, records per fold ----
+    best_c = np.full(k_pad, -np.inf)
+    best_epoch = np.zeros(k_pad, np.int64)
+    best_params: list = [None] * k_pad
+    bad = np.zeros(k_pad, np.int64)
+    histories: list[list] = [[] for _ in range(k_pad)]
+    epochs_run = np.zeros(k_pad, np.int64)
+    active = np.array([f < n_folds for f in range(k_pad)])
+
+    def snapshot(fold_i):
+        sel = {"params": state.params, "batch_stats": state.batch_stats}
+        return jax.device_get(
+            jax.tree_util.tree_map(lambda x: x[fold_i], sel))
+
+    for epoch in range(1, num_epochs + 1):
+        if not active.any():
+            break
+        if cfg.scheduler == "cosine":
+            lrs[:] = cosine_annealing(cfg.learning_rate, epoch - 1,
+                                      num_epochs)
+        split = jax.vmap(jax.random.split)(dropout_keys)
+        dropout_keys, eks = split[:, 0], split[:, 1]
+        state, tr_losses = run_stacked_epoch(train_fn, state, eks, lrs)
+        cidx, vloss = eval_fn(state.params, state.batch_stats, data,
+                              eidx, ebv)
+        # ONE readback fences the epoch's dispatches (in-order execution)
+        tr_losses, cidx, vloss = (np.asarray(tr_losses), np.asarray(cidx),
+                                  np.asarray(vloss))
+
+        improved = []
+        for k in range(n_folds):
+            if not active[k]:
+                continue
+            val_c = float(cidx[k])
+            if cfg.scheduler == "plateau":
+                lrs[k] = plateaus[k].step(val_c)
+            histories[k].append(dict(
+                epoch=epoch, train_loss=float(tr_losses[k]),
+                val_loss=float(vloss[k]), val_c_index=val_c,
+                lr=float(lrs[k])))
+            epochs_run[k] = epoch
+            if val_c > best_c[k]:
+                best_c[k], best_epoch[k] = val_c, epoch
+                best_params[k] = snapshot(k)
+                bad[k] = 0
+                improved.append(k)
+            else:
+                bad[k] += 1
+            if cfg.patience is not None and bad[k] >= cfg.patience:
+                active[k] = False
+                log.info("[%s parallel fold %d] early stop at epoch %d",
+                         name, k + 1, epoch)
+        if epoch % 10 == 0 or epoch == 1:
+            log.info("[%s parallel] epoch %d mean val C %.4f (%d active)",
+                     name, epoch, float(cidx[:n_folds].mean()),
+                     int(active.sum()))
+
+    # ---- outcomes + artifacts (schema identical to the sequential driver) --
+    outcomes: list[FoldOutcome] = []
+    for k in range(n_folds):
+        tr, va, tss = splits[k]
+        if write_outputs and best_params[k] is not None:
+            save_checkpoint(
+                Path(models_dir) / name / f"fold_{k + 1}_best.msgpack",
+                best_params[k])
+        outcomes.append(FoldOutcome(
+            fold=k + 1, best_c_index=float(best_c[k]),
+            best_epoch=int(best_epoch[k]), train_size=len(tr),
+            val_size=len(va), train_survival_size=tss,
+            epochs_run=int(epochs_run[k]), history=histories[k]))
+        log.info("[%s parallel fold %d] best C-index %.4f @ epoch %d",
+                 name, k + 1, best_c[k], best_epoch[k])
+
+    elapsed = _time.monotonic() - t_start
+    fold_results = []
+    for o in outcomes:
+        fr = {"fold": o.fold, "best_c_index": o.best_c_index,
+              "best_epoch": o.best_epoch, "train_size": o.train_size,
+              "val_size": o.val_size}
+        if o.train_survival_size is not None:
+            fr["train_survival_size"] = o.train_survival_size
+        fold_results.append(fr)
+
+    hyper = {
+        "batch_size": cfg.batch_size,
+        "learning_rate": cfg.learning_rate,
+    }
+    if cfg.stage1_epochs:
+        hyper["stage1_epochs"] = cfg.stage1_epochs
+        hyper["stage2_epochs"] = num_epochs
+    else:
+        hyper["epochs"] = num_epochs
+    hyper["n_folds"] = cfg.n_folds
+    if cfg.gate_entropy_weight:
+        hyper["gate_entropy_weight"] = cfg.gate_entropy_weight
+    if cfg.mofe_lambda:
+        hyper["mofe_lambda"] = cfg.mofe_lambda
+
+    extra = {"n_folds": cfg.n_folds, "num_epochs": num_epochs,
+             "dataset_size": int(arrays.n)}
+    payload = None
+    if write_outputs:
+        payload = write_cv_results(
+            Path(results_dir) / name, cfg.display_name, fold_results,
+            hyperparameters=hyper, extra=extra,
+            legacy=(name == "image_only"))
+    log.info("[%s parallel] CV done: %.1fs, %d steps (%d folds in flight), "
+             "%.2f steps/s", name, elapsed, total_steps, k_pad,
+             total_steps / max(elapsed, 1e-9))
+    return payload, outcomes

@@ -36,6 +36,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--synthetic-patients", type=int, default=64)
     p.add_argument("--mesh", type=int, default=0,
                    help="use an N-device data-parallel mesh (0 = single device)")
+    p.add_argument("--fold-parallel", type=int, default=0, metavar="N",
+                   help="train ALL CV folds simultaneously, sharded over an "
+                        "N-device fold mesh (N=1: vmapped on one device). "
+                        "Mutually exclusive with --mesh/--tp/--resume/"
+                        "--profile-dir; see train/cv_parallel.py")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel factor within the mesh (wide RNA "
                         "GEMMs column-sharded over the 'model' axis)")
@@ -120,6 +125,33 @@ def run_training(args, cfg):
     mesh = (make_mesh(args.mesh, model_parallel=args.tp)
             if args.mesh else None)
     dtype = jnp.bfloat16 if args.bf16 else None
+
+    if args.fold_parallel:
+        if args.mesh or args.tp > 1 or args.resume or args.profile_dir:
+            raise SystemExit(
+                "--fold-parallel is mutually exclusive with --mesh/--tp/"
+                "--resume/--profile-dir (use the sequential driver for those)")
+        from multimodal_survival_prediction_tpu.train.cv_parallel import (
+            make_fold_mesh,
+            run_cross_validation_parallel,
+        )
+
+        payload, outcomes = run_cross_validation_parallel(
+            cfg, table, rnaseq_csv=rnaseq_csv,
+            results_dir=args.results_dir, models_dir=args.models_dir,
+            mesh=(make_fold_mesh(args.fold_parallel)
+                  if args.fold_parallel > 1 else None),
+            backbone=args.backbone, dtype=dtype, remat=args.remat,
+            use_pallas_resample=args.pallas_resample,
+            hu_window=(tuple(float(x) for x in args.hu_window.split(","))
+                       if args.hu_window else None),
+        )
+        print(f"\n{cfg.display_name} (fold-parallel): C-index "
+              f"{payload['c_index_mean']:.4f} ± {payload['c_index_std']:.4f}")
+        for o in outcomes:
+            print(f"  fold {o.fold}: best {o.best_c_index:.4f} "
+                  f"@ epoch {o.best_epoch} ({o.epochs_run} epochs run)")
+        return payload
 
     payload, outcomes = run_cross_validation(
         cfg, table, rnaseq_csv=rnaseq_csv,
