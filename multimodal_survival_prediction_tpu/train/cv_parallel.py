@@ -265,7 +265,7 @@ def run_cross_validation_parallel(
         nonlocal total_steps
         idx, bv = _stack_fold_indices(
             train_rows, cfg.batch_size, shuffle_rngs)
-        st, losses = fn(st, data, put(idx), put(bv), keys,
+        st, losses = fn(st, data, put(idx), put(bv), put(np.asarray(keys)),
                         put(np.asarray(lr_vec, np.float32)))
         total_steps += int(bv.max(axis=2).sum())
         return st, losses

@@ -143,11 +143,14 @@ class Trainer:
 
     # ---------------- init ----------------
 
-    def init_state(self, example_batch, fold: int = 0) -> TrainState:
+    def init_state(self, example_batch, fold: int = 0,
+                   seed: int | None = None) -> TrainState:
         # fold-varying init: the reference seeds the global torch RNG once,
         # so each fold's model starts from different draws — fold_in mirrors
         # that (identical init across folds would correlate fold scores).
-        rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), fold)
+        # `seed` overrides cfg.seed (per-candidate init in train/sweep.py).
+        seed = self.cfg.seed if seed is None else seed
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), fold)
         inputs = self.batch_to_inputs(example_batch)
         variables = self.model.init(
             {"params": rng, "dropout": rng}, *inputs, train=False
