@@ -75,6 +75,117 @@ def cox_loss_torch(hazard, time, event):
     return -torch.sum((h - torch.logcumsumexp(h, 0)) * e) / (e.sum() + 1e-8)
 
 
+def run_torch_partial_modality_cv(
+    arrays: dict,
+    n_folds: int = 3,
+    num_epochs: int = 30,
+    batch_size: int = 8,
+    learning_rate: float = 1e-4,
+    weight_decay: float = 1e-4,
+    gate_entropy_weight: float = 0.01,
+    patience: int = 15,
+    grad_clip: float = 1.0,
+    seed: int = 42,
+    split_seed: int | None = None,
+):
+    """Torch twin of the reference FLAGSHIP trainer (gated partial-modality,
+    reference partial_modality_training.py:364-560): folds over the
+    survival-labeled rows only with ALL unlabeled patients appended to every
+    train set (:502-515), per-batch Cox on the labeled subset (skipped when
+    <2 labeled or 0 events), gate-entropy regularizer over every sample
+    (:401-422), Adam(wd = L2-into-grad), grad-clip 1.0, torch's own
+    ReduceLROnPlateau(mode='max', factor=0.5, patience=5) on val C-index,
+    patience-15 early stop, pooled per-epoch validation C-index.
+
+    `arrays`: the framework data layer's array dict (data/datasets.py) —
+    image (N,D,H,W,1), rnaseq (N,G), clinical (N,1), mask (N,3), time,
+    event, svalid — so torch and JAX consume IDENTICAL bytes.
+
+    Uses the architecture-identical torch gated net from
+    benchmarks/torch_reference.py (DenseNet121-3D CT encoder + compact RNA
+    MLP + clinical MLP + gate + fusion). Image depth/height/width must each
+    survive 5 halvings (>= 32): use image_shape=(32,32,32) cohorts.
+    """
+    import torch
+    from sklearn.model_selection import KFold
+
+    from .torch_reference import build_torch_gated_net
+
+    split_seed = seed if split_seed is None else split_seed
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+
+    image = torch.asarray(
+        np.moveaxis(np.asarray(arrays["image"], np.float32), -1, 1))
+    rna = torch.asarray(np.asarray(arrays["rnaseq"], np.float32))
+    clin = torch.asarray(np.asarray(arrays["clinical"], np.float32))
+    mask = torch.asarray(np.asarray(arrays["mask"], np.float32))
+    time_t = torch.asarray(np.asarray(arrays["time"], np.float32))
+    event_t = torch.asarray(np.asarray(arrays["event"], np.float32))
+    svalid = np.asarray(arrays["svalid"], np.float32)
+
+    labeled = np.nonzero(svalid > 0)[0]
+    unlabeled = np.nonzero(svalid <= 0)[0]
+    time_np = np.asarray(arrays["time"], np.float64)
+    event_np = np.asarray(arrays["event"])
+
+    kfold = KFold(n_splits=n_folds, shuffle=True, random_state=split_seed)
+    results = []
+    for fold, (tr, va) in enumerate(kfold.split(labeled), start=1):
+        train_rows = np.concatenate([labeled[tr], unlabeled])
+        val_rows = labeled[va]
+        model = build_torch_gated_net(rna.shape[1])
+        opt = torch.optim.Adam(model.parameters(), lr=learning_rate,
+                               weight_decay=weight_decay)
+        sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="max", factor=0.5, patience=5)
+        tr_idx = torch.asarray(train_rows)
+        best_c, best_epoch, bad, history = -np.inf, 0, 0, []
+        for epoch in range(1, num_epochs + 1):
+            model.train()
+            perm = tr_idx[torch.randperm(len(tr_idx))]
+            ep_losses = []
+            for s in range(0, len(perm), batch_size):
+                b = perm[s:s + batch_size]
+                if len(b) < 2:
+                    continue  # BatchNorm needs >= 2 rows
+                opt.zero_grad()
+                h, g = model(image[b], rna[b], clin[b], mask[b])
+                sv = torch.asarray(svalid[b.numpy()]) > 0
+                loss = torch.zeros(())
+                if int(sv.sum()) >= 2 and float(event_t[b][sv].sum()) > 0:
+                    loss = cox_loss_torch(h[sv], time_t[b][sv],
+                                          event_t[b][sv])
+                ent = -(g * torch.log(g + 1e-8)).sum(1).mean()
+                loss = loss + gate_entropy_weight * (-ent)
+                loss.backward()
+                torch.nn.utils.clip_grad_norm_(model.parameters(), grad_clip)
+                opt.step()
+                ep_losses.append(float(loss))
+
+            model.eval()
+            with torch.no_grad():
+                hv = model(image[val_rows], rna[val_rows], clin[val_rows],
+                           mask[val_rows])[0].numpy()
+            val_c = harrell_cindex_np(hv, time_np[val_rows],
+                                      event_np[val_rows])
+            sched.step(val_c)
+            history.append(dict(epoch=epoch,
+                                train_loss=float(np.mean(ep_losses or [0])),
+                                val_c_index=val_c))
+            if val_c > best_c:
+                best_c, best_epoch, bad = val_c, epoch, 0
+            else:
+                bad += 1
+            if patience is not None and bad >= patience:
+                break
+        results.append(dict(fold=fold, best_c_index=float(best_c),
+                            best_epoch=best_epoch,
+                            train_size=len(train_rows),
+                            val_size=len(val_rows), history=history))
+    return results
+
+
 def run_torch_rnaseq_cv(
     X: np.ndarray,
     time_arr: np.ndarray,
