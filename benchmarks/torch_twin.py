@@ -161,7 +161,7 @@ def run_torch_partial_modality_cv(
                 loss.backward()
                 torch.nn.utils.clip_grad_norm_(model.parameters(), grad_clip)
                 opt.step()
-                ep_losses.append(float(loss))
+                ep_losses.append(float(loss.detach()))
 
             model.eval()
             with torch.no_grad():

@@ -149,6 +149,7 @@ def main():
         "folds": rows,
     }
     out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / "parity_flagship_results.json").write_text(
         json.dumps(payload, indent=2))
 
