@@ -60,14 +60,27 @@ from .schedules import ReduceLROnPlateau, cosine_annealing
 log = logging.getLogger(__name__)
 
 
-def make_fold_mesh(n_devices: int | None = None):
-    """A 1-D mesh with a single 'fold' axis over the first n devices."""
+def make_fold_mesh(n_devices: int | None = None, data_parallel: int = 1):
+    """A (fold, data) mesh over the first n devices.
+
+    data_parallel > 1 additionally shards each fold's batch dimension over
+    the inner 'data' axis (fold x DP 2-D parallelism): with a (2, 4) mesh,
+    two folds train concurrently, each batch-DP over 4 chips. The inner
+    (fastest-varying) axis carries the within-fold collectives (hazard
+    all-gather for the global Cox risk set, BatchNorm reductions), keeping
+    them on nearest-neighbor ICI links; the fold axis needs NO collectives.
+    """
     from jax.sharding import Mesh
 
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
-    return Mesh(np.asarray(devices[:n_devices]), ("fold",))
+    if n_devices % data_parallel:
+        raise ValueError(
+            f"{n_devices} devices not divisible by data={data_parallel}")
+    grid = np.asarray(devices[:n_devices]).reshape(
+        n_devices // data_parallel, data_parallel)
+    return Mesh(grid, ("fold", "data"))
 
 
 def _fold_sharding(mesh, axis_name):
@@ -174,6 +187,7 @@ def run_cross_validation_parallel(
     models_dir="models",
     mesh=None,
     fold_axis: str = "fold",
+    data_axis: str = "data",
     backbone: str = "densenet121",
     dtype=None,
     remat: bool = False,
@@ -188,6 +202,10 @@ def run_cross_validation_parallel(
       mesh: optional mesh whose ``fold_axis`` axis the stacked fold states
         are sharded over (``make_fold_mesh``). None = vmap on one device.
       fold_axis: mesh axis name carrying the fold dimension.
+      data_axis: mesh axis name carrying each fold's batch dimension; when
+        the mesh has it with size > 1 (``make_fold_mesh(N, data_parallel)``),
+        per-epoch index arrays are sharded (fold, -, data) so every fold is
+        additionally batch-DP within its device group (2-D parallelism).
 
     Returns (payload, fold_outcomes) with the same schema as the sequential
     ``run_cross_validation`` — fold results are interchangeable.
@@ -230,14 +248,31 @@ def run_cross_validation_parallel(
               for f in range(1, k_pad + 1)]
     state = _stack_states(states)
     del states
+    data_n = dict(mesh.shape).get(data_axis, 1) if mesh is not None else 1
     if mesh is not None:
         sh = _fold_sharding(mesh, fold_axis)
         state = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sh), state)
+        if data_n > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            idx_sh = NamedSharding(mesh, P(fold_axis, None, data_axis))
+            if cfg.batch_size % data_n or tcfg.eval_batch_size % data_n:
+                raise ValueError(
+                    f"batch sizes ({cfg.batch_size}, {tcfg.eval_batch_size})"
+                    f" must divide by the '{data_axis}' axis ({data_n})")
 
     def put(x):
         x = jnp.asarray(x)
         return jax.device_put(x, sh) if mesh is not None else x
+
+    def put_idx(x):
+        """(K, steps, B) index/mask arrays: fold-sharded, and batch-sharded
+        over the data axis when fold x DP 2-D parallelism is on."""
+        x = jnp.asarray(x)
+        if mesh is None:
+            return x
+        return jax.device_put(x, idx_sh if data_n > 1 else sh)
 
     train_fn = _build_parallel_train_epoch(trainer)
     eval_fn = _build_parallel_eval(trainer)
@@ -257,7 +292,7 @@ def run_cross_validation_parallel(
     # eval indices are epoch-invariant: build + place once
     eidx, ebv = _stack_fold_indices(
         val_rows, tcfg.eval_batch_size, [None] * k_pad)
-    eidx, ebv = put(eidx), put(ebv)
+    eidx, ebv = put_idx(eidx), put_idx(ebv)
 
     total_steps = 0
 
@@ -265,7 +300,8 @@ def run_cross_validation_parallel(
         nonlocal total_steps
         idx, bv = _stack_fold_indices(
             train_rows, cfg.batch_size, shuffle_rngs)
-        st, losses = fn(st, data, put(idx), put(bv), put(np.asarray(keys)),
+        st, losses = fn(st, data, put_idx(idx), put_idx(bv),
+                        put(np.asarray(keys)),
                         put(np.asarray(lr_vec, np.float32)))
         total_steps += int(bv.max(axis=2).sum())
         return st, losses

@@ -41,6 +41,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "N-device fold mesh (N=1: vmapped on one device). "
                         "Mutually exclusive with --mesh/--tp/--resume/"
                         "--profile-dir; see train/cv_parallel.py")
+    p.add_argument("--fold-dp", type=int, default=1, metavar="M",
+                   help="with --fold-parallel N: also batch-DP each fold "
+                        "over an inner M-device 'data' axis (N total devices "
+                        "= N/M folds x M-way DP)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel factor within the mesh (wide RNA "
                         "GEMMs column-sharded over the 'model' axis)")
@@ -139,7 +143,8 @@ def run_training(args, cfg):
         payload, outcomes = run_cross_validation_parallel(
             cfg, table, rnaseq_csv=rnaseq_csv,
             results_dir=args.results_dir, models_dir=args.models_dir,
-            mesh=(make_fold_mesh(args.fold_parallel)
+            mesh=(make_fold_mesh(args.fold_parallel,
+                                 data_parallel=args.fold_dp)
                   if args.fold_parallel > 1 else None),
             backbone=args.backbone, dtype=dtype, remat=args.remat,
             use_pallas_resample=args.pallas_resample,

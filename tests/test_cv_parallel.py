@@ -153,6 +153,27 @@ def test_parallel_cv_on_fold_mesh(cohort, tmp_path):
     assert sorted(names) == [f"fold_{k}_best.msgpack" for k in (1, 2, 3)]
 
 
+def test_parallel_cv_2d_fold_by_data_mesh(cohort, tmp_path):
+    """(fold=2, data=4) 2-D mesh: 2 folds in flight, each batch-DP over 4
+    devices (global Cox risk set + BatchNorm reduce across the inner axis).
+    Results must match the unsharded vmap run (same trajectories)."""
+    table, paths = cohort
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2, batch_size=8)
+    kw = dict(rnaseq_csv=paths["rnaseq_csv"], num_epochs=2)
+    p_2d, o_2d = run_cross_validation_parallel(
+        cfg, table, mesh=make_fold_mesh(8, data_parallel=4),
+        results_dir=tmp_path / "r2d", models_dir=tmp_path / "m2d", **kw)
+    p_1d, o_1d = run_cross_validation_parallel(
+        cfg, table, results_dir=tmp_path / "r1", models_dir=tmp_path / "m1",
+        **kw)
+    for a, b in zip(o_2d, o_1d):
+        assert a.best_epoch == b.best_epoch
+        assert abs(a.best_c_index - b.best_c_index) < 1e-4
+        for ha, hb in zip(a.history, b.history):
+            assert abs(ha["train_loss"] - hb["train_loss"]) < 1e-4
+    assert np.isfinite(p_2d["c_index_mean"])
+
+
 def test_parallel_cv_early_stop_per_fold(cohort, tmp_path):
     """patience=1 under the plateau scheduler: folds stop independently and
     their histories freeze at their own stop epoch."""
