@@ -37,7 +37,9 @@ def predict_risk(
     labeled_only: bool = True,
     batch_size: int = 64,
 ) -> pd.DataFrame:
-    """Score a cohort with a trained fold checkpoint.
+    """Score a cohort with a trained fold checkpoint — or a FOLD ENSEMBLE
+    when ``checkpoint_path`` is a sequence of paths (per-fold z-scored
+    log-hazards averaged; one compiled scorer serves all folds).
 
     Returns columns (patient_id, risk_score, survival_time, event) — the
     test-predictions contract consumed by scripts/analysis/evaluate_model.py
@@ -71,29 +73,49 @@ def predict_risk(
             *batch_to_inputs(ex), train=False))
     target = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, s.dtype), shapes)
-    restored = load_checkpoint(checkpoint_path, {
-        "params": target["params"],
-        "batch_stats": target.get("batch_stats", {})})
-    variables = {"params": restored["params"],
-                 "batch_stats": restored["batch_stats"],
-                 **{k: v for k, v in target.items()
-                    if k not in ("params", "batch_stats")}}
 
+    # variables as an ARGUMENT: one compiled scorer serves every fold
+    # checkpoint of an ensemble (identical param shapes).
     @jax.jit
-    def score(batch):
+    def score(variables, batch):
         out = model.apply(variables, *batch_to_inputs(batch), train=False)
         hazard, _ = hazard_and_aux(out, batch)
         return hazard
 
-    hazards = np.empty(n, np.float32)
-    for start in range(0, n, batch_size):
-        end = min(start + batch_size, n)
-        idx = np.arange(start, end)
-        # pad to batch_size for a single compiled shape
-        pad = np.concatenate([idx, np.full(batch_size - len(idx), idx[-1])])
-        batch = {k: jax.numpy.asarray(v[pad]) for k, v in data.items()}
-        batch["valid"] = batch["svalid"]
-        hazards[start:end] = np.asarray(score(batch))[: len(idx)]
+    paths = ([checkpoint_path]
+             if isinstance(checkpoint_path, (str, Path))
+             else list(checkpoint_path))
+    per_ckpt = np.empty((len(paths), n), np.float32)
+    for ci, cp in enumerate(paths):
+        restored = load_checkpoint(cp, {
+            "params": target["params"],
+            "batch_stats": target.get("batch_stats", {})})
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"],
+                     **{k: v for k, v in target.items()
+                        if k not in ("params", "batch_stats")}}
+        for start in range(0, n, batch_size):
+            end = min(start + batch_size, n)
+            idx = np.arange(start, end)
+            # pad to batch_size for a single compiled shape
+            pad = np.concatenate(
+                [idx, np.full(batch_size - len(idx), idx[-1])])
+            batch = {k: jax.numpy.asarray(v[pad]) for k, v in data.items()}
+            batch["valid"] = batch["svalid"]
+            per_ckpt[ci, start:end] = np.asarray(
+                score(variables, batch))[: len(idx)]
+
+    if len(paths) == 1:
+        hazards = per_ckpt[0]
+    else:
+        # Fold ensemble: Cox log-hazards are only defined up to a per-model
+        # shift (and effectively a scale once trained on different folds), so
+        # z-score each fold's scores over the cohort before averaging —
+        # a rank-stable combination. Capability beyond the reference (it
+        # scores with a single fold's weights, README.md:386-399).
+        mu = per_ckpt.mean(axis=1, keepdims=True)
+        sd = per_ckpt.std(axis=1, keepdims=True) + 1e-8
+        hazards = ((per_ckpt - mu) / sd).mean(axis=0)
 
     pred = pd.DataFrame({
         "patient_id": arrays.patient_ids,
@@ -104,3 +126,15 @@ def predict_risk(
     if labeled_only:
         pred = pred[data["svalid"] > 0].reset_index(drop=True)
     return pred
+
+
+def fold_checkpoints(models_dir, name: str):
+    """All models/<name>/fold_K_best.msgpack paths, fold-ordered."""
+    import re
+
+    d = Path(models_dir) / name
+    paths = sorted(d.glob("fold_*_best.msgpack"),
+                   key=lambda p: int(re.findall(r"\d+", p.name)[0]))
+    if not paths:
+        raise FileNotFoundError(f"no fold checkpoints under {d}")
+    return paths

@@ -17,6 +17,9 @@ def main():
     p.add_argument("--model", default="partial_modality",
                    help="model name (config key)")
     p.add_argument("--fold", type=int, default=1)
+    p.add_argument("--ensemble", action="store_true",
+                   help="score with ALL fold checkpoints (per-fold z-scored "
+                        "log-hazards averaged) instead of --fold's one")
     p.add_argument("--models-dir", default="models")
     p.add_argument("--backbone", default="densenet121",
                    choices=["densenet121", "simple_cnn"])
@@ -28,7 +31,10 @@ def main():
     from multimodal_survival_prediction_tpu.analysis.figures import km_plot
     from multimodal_survival_prediction_tpu.config import ALL_CONFIGS
     from multimodal_survival_prediction_tpu.data import load_matching_table
-    from multimodal_survival_prediction_tpu.train.predict import predict_risk
+    from multimodal_survival_prediction_tpu.train.predict import (
+        fold_checkpoints,
+        predict_risk,
+    )
 
     cfg = ALL_CONFIGS[args.model]
     root = Path(args.data_root)
@@ -36,20 +42,27 @@ def main():
         root / "data" / "processed" / "full_matching_table.csv")
     rnaseq_csv = root / "data" / "processed" / "rnaseq_normalized_mapped.csv"
 
-    ckpt = Path(args.models_dir) / cfg.name / f"fold_{args.fold}_best.msgpack"
-    if not ckpt.exists():
-        print(f"checkpoint not found: {ckpt} — train the model first")
-        return
+    if args.ensemble:
+        ckpt = fold_checkpoints(args.models_dir, cfg.name)
+        label = "ensemble"
+        title = f"{cfg.display_name} fold ensemble ({len(ckpt)} folds)"
+    else:
+        ckpt = Path(args.models_dir) / cfg.name / \
+            f"fold_{args.fold}_best.msgpack"
+        if not ckpt.exists():
+            print(f"checkpoint not found: {ckpt} — train the model first")
+            return
+        label = f"fold{args.fold}"
+        title = f"{cfg.display_name} fold {args.fold}"
 
     pred = predict_risk(cfg, ckpt, table, rnaseq_csv=rnaseq_csv,
                         backbone=args.backbone)
     hi, lo, lr = km_groups(pred)
     out_dir = Path(args.out_dir or Path(args.results_root) / "km_curves")
     km_plot({"high risk": hi, "low risk": lo},
-            out_dir / f"{cfg.name}_fold{args.fold}_km.png",
-            title=f"{cfg.display_name} fold {args.fold}",
-            pvalue=lr.p_value)
-    pred.to_csv(out_dir / f"{cfg.name}_fold{args.fold}_predictions.csv",
+            out_dir / f"{cfg.name}_{label}_km.png",
+            title=title, pvalue=lr.p_value)
+    pred.to_csv(out_dir / f"{cfg.name}_{label}_predictions.csv",
                 index=False)
     # the contract evaluate_model.py reads (reference evaluate_model.py)
     pred.to_csv(Path(args.results_root) / "test_predictions.csv", index=False)

@@ -9,7 +9,10 @@ from multimodal_survival_prediction_tpu.data.synthetic import (
     generate_synthetic_cohort,
 )
 from multimodal_survival_prediction_tpu.train.cv import run_cross_validation
-from multimodal_survival_prediction_tpu.train.predict import predict_risk
+from multimodal_survival_prediction_tpu.train.predict import (
+    fold_checkpoints,
+    predict_risk,
+)
 
 
 def test_train_then_predict(tmp_path):
@@ -33,3 +36,13 @@ def test_train_then_predict(tmp_path):
     summary = evaluate_predictions(pred, out_dir=tmp_path / "eval")
     assert 0.0 <= summary["c_index"] <= 1.0
     assert (tmp_path / "eval" / "evaluation_summary.json").exists()
+
+    # ---- fold ensemble: all fold checkpoints, z-scored + averaged ----
+    ckpts = fold_checkpoints(tmp_path / "models", "rnaseq_only")
+    assert len(ckpts) == 2
+    ens = predict_risk(cfg, ckpts, table, rnaseq_csv=paths["rnaseq_csv"])
+    assert len(ens) == len(pred)
+    assert np.all(np.isfinite(ens.risk_score))
+    # z-scored average: near-zero mean, differs from any single fold
+    assert abs(float(ens.risk_score.mean())) < 1.0
+    assert not np.allclose(ens.risk_score.values, pred.risk_score.values)
