@@ -33,11 +33,15 @@ class RiskScorer:
 
     def __init__(self, model_name: str, checkpoint_path,
                  backbone: str = "densenet121", batch_size: int = 1,
-                 rna_dim: int = 5005, image_shape=(64, 64, 32)):
+                 rna_dim: int = 5005, image_shape=(64, 64, 32),
+                 hu_window=None):
         self.cfg: ModelRunConfig = ALL_CONFIGS[model_name]
         self.image_shape = tuple(image_shape)
         self.rna_dim = rna_dim
         self.batch_size = batch_size
+        # must match training ingest: a checkpoint trained with an HU window
+        # scored on unwindowed CTs sees a shifted intensity distribution
+        self.hu_window = tuple(hu_window) if hu_window is not None else None
 
         model, self._batch_to_inputs, hazard_and_aux = \
             make_model_and_adapters(self.cfg, backbone=backbone)
@@ -108,7 +112,8 @@ class RiskScorer:
         if volume is not None:
             vol = np.asarray(
                 resample_normalize_bucketed(np.asarray(volume),
-                                            self.image_shape))
+                                            self.image_shape,
+                                            hu_window=self.hu_window))
             batch["image"][0, ..., 0] = vol
             mask[0] = 1.0
         if rnaseq is not None:

@@ -125,12 +125,18 @@ def run_cross_validation(
     profile_dir: str | None = None,
     resume: bool = False,
     checkpoint_every: int = 10,
+    prepared=None,
 ):
-    """Full CV run for one model config. Returns (payload, fold_outcomes)."""
+    """Full CV run for one model config. Returns (payload, fold_outcomes).
+
+    `prepared`: optional (arrays, splits) from a prior prepare_cv_data call
+    with the same cfg — skips re-decoding/resampling the cohort when the
+    caller already built it (e.g. the twin-run parity harness feeds the
+    identical array set to both the torch oracle and this driver)."""
     name = cfg.name
     num_epochs = num_epochs or cfg.num_epochs
 
-    arrays, splits = prepare_cv_data(
+    arrays, splits = prepared if prepared is not None else prepare_cv_data(
         cfg, table, rnaseq_csv=rnaseq_csv,
         use_pallas_resample=use_pallas_resample, hu_window=hu_window)
     rna_dim = arrays.arrays["rnaseq"].shape[1]

@@ -50,8 +50,6 @@ import pandas as pd
 from ..config import ModelRunConfig
 from ..io.checkpoint import save_checkpoint
 from ..io.results import write_cv_results
-from ..ops.cindex import concordance_index
-from ..ops.cox import cox_partial_likelihood
 from .adapters import make_model_and_adapters
 from .cv import FoldOutcome, prepare_cv_data
 from .engine import TrainConfig, Trainer, TrainState
@@ -133,24 +131,12 @@ def _build_parallel_eval(trainer: Trainer):
     and from the mean loss by the valid-step count."""
 
     def eval_fold(params, batch_stats, data, idx, bvalid):
-        variables = {"params": params, "batch_stats": batch_stats,
-                     **trainer._extra_collections}
-
-        def body(_, xs):
-            bidx, bv = xs
-            batch = trainer._gather_batch(data, bidx, bv)
-            out = trainer.model.apply(
-                variables, *trainer.batch_to_inputs(batch), train=False)
-            hazard, _ = trainer.hazard_and_aux(out, batch)
-            loss = cox_partial_likelihood(
-                hazard, batch["time"], batch["event"],
-                valid=batch["svalid"], ties=trainer.cfg.ties)
-            return None, (hazard, batch["time"], batch["event"],
-                          batch["svalid"], loss)
-
-        _, (h, t, e, sv, losses) = jax.lax.scan(body, None, (idx, bvalid))
-        h, t, e, sv = (x.reshape(-1) for x in (h, t, e, sv))
-        cindex = concordance_index(h, t, e, valid=sv)
+        # same scan body as the sequential driver (Trainer.eval_scan is the
+        # single source of truth for eval semantics); only the loss
+        # aggregation differs — fold stacking pads step COUNTS, so fully
+        # masked steps must be excluded from the mean
+        cindex, losses, _ = trainer.eval_scan(
+            params, batch_stats, data, idx, bvalid)
         step_valid = jnp.max(bvalid, axis=1) > 0
         loss = (jnp.sum(jnp.where(step_valid, losses, 0.0))
                 / jnp.maximum(jnp.sum(step_valid), 1))

@@ -260,27 +260,38 @@ class Trainer:
 
         return jax.jit(train_step, donate_argnums=(0,))
 
+    def eval_scan(self, params, batch_stats, data, idx, bvalid):
+        """Traceable pooled-eval body: scan the eval batches, pool hazards,
+        compute the whole-epoch C-index (reference final_multimodal.py:268-305).
+
+        The single source of truth for eval semantics — jitted directly by
+        `_build_eval` and vmapped over folds/candidates by
+        cv_parallel._build_parallel_eval. Returns (cindex, per-step losses,
+        pooled hazards)."""
+        variables = {"params": params, "batch_stats": batch_stats,
+                     **self._extra_collections}
+
+        def body(_, xs):
+            bidx, bv = xs
+            batch = self._gather_batch(data, bidx, bv)
+            out = self.model.apply(
+                variables, *self.batch_to_inputs(batch), train=False)
+            hazard, _ = self.hazard_and_aux(out, batch)
+            loss = cox_partial_likelihood(
+                hazard, batch["time"], batch["event"],
+                valid=batch["svalid"], ties=self.cfg.ties)
+            return None, (hazard, batch["time"], batch["event"],
+                          batch["svalid"], loss)
+
+        _, (h, t, e, sv, losses) = jax.lax.scan(body, None, (idx, bvalid))
+        h, t, e, sv = (x.reshape(-1) for x in (h, t, e, sv))
+        cindex = concordance_index(h, t, e, valid=sv)
+        return cindex, losses, h
+
     def _build_eval(self):
         def eval_batches(params, batch_stats, data, idx, bvalid):
-            variables = {"params": params, "batch_stats": batch_stats,
-                         **self._extra_collections}
-
-            def body(_, xs):
-                bidx, bv = xs
-                batch = self._gather_batch(data, bidx, bv)
-                out = self.model.apply(
-                    variables, *self.batch_to_inputs(batch), train=False)
-                hazard, _ = self.hazard_and_aux(out, batch)
-                loss = cox_partial_likelihood(
-                    hazard, batch["time"], batch["event"],
-                    valid=batch["svalid"], ties=self.cfg.ties)
-                return None, (hazard, batch["time"], batch["event"],
-                              batch["svalid"], loss)
-
-            _, (h, t, e, sv, losses) = jax.lax.scan(body, None, (idx, bvalid))
-            h, t, e, sv = (x.reshape(-1) for x in (h, t, e, sv))
-            # Pooled whole-epoch C-index (reference final_multimodal.py:268-305)
-            cindex = concordance_index(h, t, e, valid=sv)
+            cindex, losses, h = self.eval_scan(
+                params, batch_stats, data, idx, bvalid)
             return cindex, jnp.mean(losses), h
 
         return jax.jit(eval_batches)

@@ -36,6 +36,8 @@ def predict_risk(
     backbone: str = "densenet121",
     labeled_only: bool = True,
     batch_size: int = 64,
+    use_pallas: bool = False,
+    hu_window=None,
 ) -> pd.DataFrame:
     """Score a cohort with a trained fold checkpoint — or a FOLD ENSEMBLE
     when ``checkpoint_path`` is a sequence of paths (per-fold z-scored
@@ -52,9 +54,13 @@ def predict_risk(
         if cfg.name == "rnaseq_only":
             cohort = cohort[cohort.patient_id.isin(set(rnaseq_df.index))]
 
+    # hu_window/use_pallas must match what training ingest used (a model
+    # trained with --hu-window scored on unwindowed volumes sees a shifted
+    # CT distribution and produces silently skewed risks)
     arrays = build_cohort_arrays(
         cohort, rnaseq_df, with_image="image" in cfg.modalities,
-        image_shape=cfg.image_shape)
+        image_shape=cfg.image_shape, use_pallas=use_pallas,
+        hu_window=hu_window)
 
     model, batch_to_inputs, hazard_and_aux = make_model_and_adapters(
         cfg, backbone=backbone)

@@ -61,6 +61,8 @@ def run_hyperparameter_sweep(
     remat: bool = False,
     num_epochs: int | None = None,
     results_dir=None,
+    use_pallas_resample: bool = False,
+    hu_window=None,
 ):
     """Train every (seed, lr) candidate in parallel on fold `fold`'s split.
 
@@ -79,7 +81,9 @@ def run_hyperparameter_sweep(
     points = [(s, lr) for s in seeds for lr in learning_rates]
     n_points = len(points)
 
-    arrays, splits = prepare_cv_data(cfg, table, rnaseq_csv=rnaseq_csv)
+    arrays, splits = prepare_cv_data(
+        cfg, table, rnaseq_csv=rnaseq_csv,
+        use_pallas_resample=use_pallas_resample, hu_window=hu_window)
     train_rows, val_rows, _ = splits[fold - 1]
     rna_dim = arrays.arrays["rnaseq"].shape[1]
 
@@ -127,11 +131,41 @@ def run_hyperparameter_sweep(
         [val_rows] * k_pad, tcfg.eval_batch_size, [None] * k_pad)
     eidx, ebv = put(eidx), put(ebv)
 
+    # stage 1 (SimMLM expert pretraining): fixed LR, no selection — the same
+    # pre-phase both real CV drivers run (cv.py / cv_parallel.py), so swept
+    # candidates see the regime run_cross_validation would give them
+    if cfg.stage1_epochs:
+        from .adapters import simmlm_stage1_adapter
+
+        s1_trainer = Trainer(model, batch_to_inputs,
+                             simmlm_stage1_adapter(), tcfg)
+        s1_trainer._extra_collections = trainer._extra_collections
+        s1_fn = _build_parallel_train_epoch(s1_trainer)
+        for epoch in range(1, cfg.stage1_epochs + 1):
+            split = jax.vmap(jax.random.split)(dropout_keys)
+            dropout_keys, eks = split[:, 0], split[:, 1]
+            idx, bv = _stack_fold_indices(
+                [train_rows] * k_pad, cfg.batch_size, shuffle_rngs)
+            state, s1_loss = s1_fn(
+                state, data, put(idx), put(bv), put(np.asarray(eks)),
+                put(np.full(k_pad, cfg.learning_rate, np.float32)))
+            if epoch % 10 == 0 or epoch == 1:
+                log.info("[%s sweep] stage1 epoch %d mean loss %.4f",
+                         cfg.name, epoch, float(jnp.mean(s1_loss)))
+
     best_c = np.full(k_pad, -np.inf)
     best_epoch = np.zeros(k_pad, np.int64)
     histories: list[list] = [[] for _ in range(k_pad)]
+    bad = np.zeros(k_pad, np.int64)
+    # early-stop parity with the sequential driver: once a candidate exceeds
+    # cfg.patience epochs without improvement its record freezes (later
+    # improvements the sequential driver would never have seen are ignored);
+    # compute still advances vmapped until every candidate has stopped
+    active = np.ones(k_pad, bool)
 
     for epoch in range(1, num_epochs + 1):
+        if not active[:n_points].any():
+            break
         if cfg.scheduler == "cosine":
             lrs = np.asarray([
                 cosine_annealing(b, epoch - 1, num_epochs)
@@ -148,6 +182,8 @@ def run_hyperparameter_sweep(
         tr_losses, cidx, vloss = (np.asarray(tr_losses), np.asarray(cidx),
                                   np.asarray(vloss))
         for k in range(n_points):
+            if not active[k]:
+                continue
             val_c = float(cidx[k])
             if cfg.scheduler == "plateau":
                 lrs[k] = plateaus[k].step(val_c)
@@ -157,6 +193,11 @@ def run_hyperparameter_sweep(
                 lr=float(lrs[k])))
             if val_c > best_c[k]:
                 best_c[k], best_epoch[k] = val_c, epoch
+                bad[k] = 0
+            else:
+                bad[k] += 1
+                if cfg.patience is not None and bad[k] >= cfg.patience:
+                    active[k] = False
         if epoch % 10 == 0 or epoch == 1:
             log.info("[%s sweep] epoch %d best-so-far %.4f", cfg.name,
                      epoch, float(best_c[:n_points].max()))

@@ -19,6 +19,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     return p
 
 
+def parse_hu_window(s):
+    """'lo,hi' -> (lo, hi); None/'' -> None."""
+    return tuple(float(x) for x in s.split(",")) if s else None
+
+
 def load_table_or_none(data_root):
     from multimodal_survival_prediction_tpu.data import load_matching_table
 

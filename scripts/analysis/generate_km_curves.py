@@ -9,7 +9,7 @@ model, loads a fold's best checkpoint, scores the labeled cohort
 curves with a log-rank test, and writes the predictions CSV that
 evaluate_model.py consumes."""
 
-from common import base_parser
+from common import base_parser, parse_hu_window
 
 
 def main():
@@ -23,6 +23,11 @@ def main():
     p.add_argument("--models-dir", default="models")
     p.add_argument("--backbone", default="densenet121",
                    choices=["densenet121", "simple_cnn"])
+    p.add_argument("--pallas-resample", action="store_true")
+    p.add_argument("--hu-window", default=None,
+                   help="CT Hounsfield window 'lo,hi' — must match the value "
+                        "the checkpoint was TRAINED with (use the = form for "
+                        "negative bounds: --hu-window=-150,250)")
     args = p.parse_args()
 
     from pathlib import Path
@@ -43,7 +48,11 @@ def main():
     rnaseq_csv = root / "data" / "processed" / "rnaseq_normalized_mapped.csv"
 
     if args.ensemble:
-        ckpt = fold_checkpoints(args.models_dir, cfg.name)
+        try:
+            ckpt = fold_checkpoints(args.models_dir, cfg.name)
+        except FileNotFoundError as e:
+            print(f"{e} — train the model first")
+            return
         label = "ensemble"
         title = f"{cfg.display_name} fold ensemble ({len(ckpt)} folds)"
     else:
@@ -56,7 +65,9 @@ def main():
         title = f"{cfg.display_name} fold {args.fold}"
 
     pred = predict_risk(cfg, ckpt, table, rnaseq_csv=rnaseq_csv,
-                        backbone=args.backbone)
+                        backbone=args.backbone,
+                        use_pallas=args.pallas_resample,
+                        hu_window=parse_hu_window(args.hu_window))
     hi, lo, lr = km_groups(pred)
     out_dir = Path(args.out_dir or Path(args.results_root) / "km_curves")
     km_plot({"high risk": hi, "low risk": lo},

@@ -81,8 +81,11 @@ def main():
     cfg = dataclasses.replace(PARTIAL_MODALITY, n_folds=args.n_folds,
                               image_shape=image_shape)
 
-    # identical arrays for both sides via the framework data layer
-    arrays, _splits = prepare_cv_data(cfg, table, rnaseq_csv=rnaseq_csv)
+    # identical arrays for both sides via the framework data layer; the
+    # prepared pair is handed to run_cross_validation below so the NIfTI
+    # decode + resample happens once, not twice
+    prepared = prepare_cv_data(cfg, table, rnaseq_csv=rnaseq_csv)
+    arrays, _splits = prepared
     sv = arrays.arrays["svalid"]
     print(f"[parity-flagship] cohort rows: {arrays.n} "
           f"(labeled {int(sv.sum())}, imaging "
@@ -106,7 +109,7 @@ def main():
     t0 = time.monotonic()
     _, jax_outcomes = run_cross_validation(
         cfg, table, rnaseq_csv=rnaseq_csv, num_epochs=args.epochs,
-        write_outputs=False)
+        write_outputs=False, prepared=prepared)
     jax_sec = time.monotonic() - t0
     print(f"[parity-flagship] jax CV done in {jax_sec:.1f}s")
 

@@ -34,6 +34,10 @@ def main():
                    choices=["densenet121", "simple_cnn"])
     p.add_argument("--rna-dim", type=int, default=5005)
     p.add_argument("--image-shape", default="64,64,32")
+    p.add_argument("--hu-window", default=None,
+                   help="CT Hounsfield window 'lo,hi' — must match the value "
+                        "the checkpoint was TRAINED with (use the = form for "
+                        "negative bounds: --hu-window=-150,250)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8400)
     args = p.parse_args()
@@ -43,7 +47,9 @@ def main():
     scorer = RiskScorer(
         args.model, args.checkpoint, backbone=args.backbone,
         rna_dim=args.rna_dim,
-        image_shape=tuple(int(x) for x in args.image_shape.split(",")))
+        image_shape=tuple(int(x) for x in args.image_shape.split(",")),
+        hu_window=(tuple(float(x) for x in args.hu_window.split(","))
+                   if args.hu_window else None))
     print(f"model {args.model} loaded + compiled; "
           f"serving on {args.host}:{args.port}")
 

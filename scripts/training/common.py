@@ -71,6 +71,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     return p
 
 
+def parse_hu_window(s):
+    """'lo,hi' -> (lo, hi); None/'' -> None."""
+    return tuple(float(x) for x in s.split(",")) if s else None
+
+
 def run_training(args, cfg):
     import jax.numpy as jnp
 
@@ -130,6 +135,14 @@ def run_training(args, cfg):
             if args.mesh else None)
     dtype = jnp.bfloat16 if args.bf16 else None
 
+    if args.fold_dp > 1 and args.fold_parallel <= 1:
+        # the inner 'data' axis only exists on a fold-parallel mesh; silently
+        # training without the requested DP would mislead the user
+        raise SystemExit(
+            "--fold-dp needs --fold-parallel N with N > 1 (N total devices "
+            "= N/M folds x M-way DP); use --mesh M for plain data "
+            "parallelism with the sequential driver")
+
     if args.fold_parallel:
         if args.mesh or args.tp > 1 or args.resume or args.profile_dir:
             raise SystemExit(
@@ -148,8 +161,7 @@ def run_training(args, cfg):
                   if args.fold_parallel > 1 else None),
             backbone=args.backbone, dtype=dtype, remat=args.remat,
             use_pallas_resample=args.pallas_resample,
-            hu_window=(tuple(float(x) for x in args.hu_window.split(","))
-                       if args.hu_window else None),
+            hu_window=parse_hu_window(args.hu_window),
         )
         print(f"\n{cfg.display_name} (fold-parallel): C-index "
               f"{payload['c_index_mean']:.4f} ± {payload['c_index_std']:.4f}")
@@ -164,8 +176,7 @@ def run_training(args, cfg):
         mesh=mesh, tensor_parallel=args.tp > 1,
         backbone=args.backbone, dtype=dtype, remat=args.remat,
         use_pallas_resample=args.pallas_resample,
-        hu_window=(tuple(float(x) for x in args.hu_window.split(","))
-                   if args.hu_window else None),
+        hu_window=parse_hu_window(args.hu_window),
         profile_dir=args.profile_dir,
         resume=args.resume, checkpoint_every=args.checkpoint_every,
     )

@@ -9,22 +9,39 @@ Example:
       --seeds 42,43,44 --lrs 1e-4,3e-4,1e-3 --epochs 20 --sweep-mesh 8
 """
 
-from common import base_parser, REPO_ROOT  # noqa: F401  (sys.path side effect)
+from common import (  # noqa: F401  (sys.path side effect)
+    REPO_ROOT,
+    base_parser,
+    parse_hu_window,
+)
 
 
 def main():
     p = base_parser(__doc__)
     p.add_argument("--model", default="rnaseq_only",
                    help="config key (see config.ALL_CONFIGS)")
-    p.add_argument("--seeds", default="42",
-                   help="comma-separated init/shuffle seeds to sweep")
+    p.add_argument("--seeds", default=None,
+                   help="comma-separated init/shuffle seeds to sweep "
+                        "(default: the model's base seed)")
     p.add_argument("--lrs", default=None,
-                   help="comma-separated base learning rates to sweep")
+                   help="comma-separated base learning rates to sweep "
+                        "(default: --learning-rate or the model's base LR)")
     p.add_argument("--fold", type=int, default=1,
                    help="which seed-42 KFold split supplies train/val")
     p.add_argument("--sweep-mesh", type=int, default=0,
                    help="shard candidates over an N-device fold mesh")
     args = p.parse_args()
+
+    # base_parser flags the sweep driver cannot honor must fail loudly, not
+    # silently train something other than what the user asked for
+    for flag, val, none in (("--mesh", args.mesh, 0), ("--tp", args.tp, 1),
+                            ("--fold-parallel", args.fold_parallel, 0),
+                            ("--fold-dp", args.fold_dp, 1),
+                            ("--resume", args.resume, False),
+                            ("--profile-dir", args.profile_dir, None)):
+        if val != none:
+            raise SystemExit(f"{flag} is not supported by the sweep driver "
+                             f"(candidates parallelize via --sweep-mesh)")
 
     import logging
     from pathlib import Path
@@ -43,10 +60,24 @@ def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
 
-    cfg = ALL_CONFIGS[args.model].with_overrides(
+    cfg = ALL_CONFIGS[args.model]
+    if args.stage1_epochs is not None and not cfg.stage1_epochs:
+        raise SystemExit(
+            f"--stage1-epochs only applies to two-stage models (SimMLM); "
+            f"'{cfg.name}' has no stage 1")
+    cfg = cfg.with_overrides(
         n_folds=args.n_folds, batch_size=args.batch_size,
+        stage1_epochs=args.stage1_epochs,
         image_shape=(tuple(int(x) for x in args.image_shape.split(","))
                      if args.image_shape else None))
+
+    seeds = (tuple(int(s) for s in args.seeds.split(","))
+             if args.seeds else
+             ((args.seed,) if args.seed is not None else (cfg.seed,)))
+    lrs = (tuple(float(x) for x in args.lrs.split(","))
+           if args.lrs else
+           ((args.learning_rate,) if args.learning_rate is not None
+            else None))
 
     root = Path(args.data_root)
     if args.synthetic:
@@ -67,9 +98,8 @@ def main():
 
     board = run_hyperparameter_sweep(
         cfg, table, rnaseq_csv=rnaseq_csv,
-        seeds=tuple(int(s) for s in args.seeds.split(",")),
-        learning_rates=(tuple(float(x) for x in args.lrs.split(","))
-                        if args.lrs else None),
+        seeds=seeds,
+        learning_rates=lrs,
         fold=args.fold,
         mesh=make_fold_mesh(args.sweep_mesh) if args.sweep_mesh > 1 else None,
         backbone=args.backbone,
@@ -77,6 +107,8 @@ def main():
         remat=args.remat,
         num_epochs=args.epochs,
         results_dir=args.results_dir,
+        use_pallas_resample=args.pallas_resample,
+        hu_window=parse_hu_window(args.hu_window),
     )
     print(f"\n{cfg.display_name} sweep — top candidates:")
     for r in board[:10]:

@@ -37,6 +37,11 @@ def test_train_then_predict(tmp_path):
     assert 0.0 <= summary["c_index"] <= 1.0
     assert (tmp_path / "eval" / "evaluation_summary.json").exists()
 
+    # ---- hu_window plumbing: scoring must honor the training-time window
+    # (a windowed checkpoint scored on unwindowed volumes is silently skewed)
+    # rnaseq_only has no image modality, so exercise it on image_only below
+    # in test_predict_hu_window.
+
     # ---- fold ensemble: all fold checkpoints, z-scored + averaged ----
     ckpts = fold_checkpoints(tmp_path / "models", "rnaseq_only")
     assert len(ckpts) == 2
@@ -46,3 +51,28 @@ def test_train_then_predict(tmp_path):
     # z-scored average: near-zero mean, differs from any single fold
     assert abs(float(ens.risk_score.mean())) < 1.0
     assert not np.allclose(ens.risk_score.values, pred.risk_score.values)
+
+
+def test_predict_hu_window(tmp_path):
+    """predict_risk must apply the same HU window the checkpoint was trained
+    with: windowed vs unwindowed scoring of an image model produces different
+    risks for imaging patients (the silent-skew path a mismatched window
+    would take)."""
+    from multimodal_survival_prediction_tpu.config import IMAGE_ONLY
+
+    spec = SyntheticCohortSpec(n_patients=12, rna_dim=20, seed=3,
+                               p_imaging=1.0, image_shapes=((20, 24, 24),))
+    table, paths = generate_synthetic_cohort(tmp_path, spec)
+    cfg = IMAGE_ONLY.with_overrides(n_folds=2, batch_size=4,
+                                    image_shape=(16, 16, 8))
+    run_cross_validation(
+        cfg, table, results_dir=tmp_path / "results",
+        models_dir=tmp_path / "models", num_epochs=1,
+        hu_window=(0.0, 150.0))
+    ckpt = tmp_path / "models" / "image_only" / "fold_1_best.msgpack"
+
+    windowed = predict_risk(cfg, ckpt, table, hu_window=(0.0, 150.0))
+    unwindowed = predict_risk(cfg, ckpt, table)
+    assert np.all(np.isfinite(windowed.risk_score))
+    assert not np.allclose(windowed.risk_score.values,
+                           unwindowed.risk_score.values)

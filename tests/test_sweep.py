@@ -58,6 +58,38 @@ def test_anchor_candidate_matches_sequential_fold1(cohort, tmp_path):
     assert cs == sorted(cs, reverse=True)
 
 
+def test_simmlm_anchor_includes_stage1_and_patience(tmp_path):
+    """Two-stage + early-stop parity: the sweep must run SimMLM's stage-1
+    expert pretraining and freeze a candidate's record once cfg.patience
+    epochs pass without improvement — otherwise swept candidates are tuned
+    for a different regime than run_cross_validation would produce."""
+    from multimodal_survival_prediction_tpu.config import SIMMLM
+
+    td = tmp_path / "cohort"
+    spec = SyntheticCohortSpec(n_patients=24, rna_dim=60, seed=11,
+                               p_imaging=0.5, p_rnaseq=0.9,
+                               image_shapes=((20, 24, 24),))
+    table, paths = generate_synthetic_cohort(td, spec)
+    cfg = SIMMLM.with_overrides(
+        n_folds=2, batch_size=8, stage1_epochs=2, patience=2,
+        image_shape=(16, 16, 8))
+    _, o_seq = run_cross_validation(
+        cfg, table, rnaseq_csv=paths["rnaseq_csv"], num_epochs=6,
+        backbone="simple_cnn", write_outputs=False)
+    board = run_hyperparameter_sweep(
+        cfg, table, rnaseq_csv=paths["rnaseq_csv"], num_epochs=6,
+        seeds=(cfg.seed,), backbone="simple_cnn")
+    anchor = board[0]
+    seq_hist = o_seq[0].history  # fold 1
+    # patience parity: same (possibly early-stopped) history length
+    assert len(anchor["history"]) == len(seq_hist)
+    for ha, hb in zip(anchor["history"], seq_hist):
+        assert abs(ha["val_c_index"] - hb["val_c_index"]) < 1e-4
+        assert abs(ha["train_loss"] - hb["train_loss"]) < 1e-4
+    assert anchor["best_epoch"] == o_seq[0].best_epoch
+    assert abs(anchor["best_c_index"] - o_seq[0].best_c_index) < 1e-4
+
+
 def test_sweep_on_mesh_writes_artifact(cohort, tmp_path):
     table, paths = cohort
     cfg = RNASEQ_ONLY.with_overrides(n_folds=3, batch_size=8)
