@@ -27,14 +27,26 @@ class RiskScorer:
 
     Args:
       model_name: config key (e.g. 'partial_modality').
-      checkpoint_path: models/<name>/fold_K_best.msgpack.
+      checkpoint_path: models/<name>/fold_K_best.msgpack — or a SEQUENCE of
+        fold checkpoint paths for a fold ensemble: fold params are stacked on
+        a leading axis and the scoring program is vmapped over it, so one
+        compiled dispatch scores every fold (TPU batches the fold axis
+        through the same MXU matmuls).
       batch_size: compiled scoring batch (requests are padded to it).
+      fold_calibration: optional per-fold (mu, sd) pairs from a calibration
+        cohort (e.g. train.predict.predict_risk over the training set) —
+        Cox log-hazards are only defined up to a per-model shift, so
+        z-scoring each fold before averaging is the rank-stable ensemble
+        combination (matches predict_risk's cohort-level z-score). Without
+        it, the raw per-fold hazards are averaged (fold shifts are constant
+        per checkpoint, so request ORDERING stays consistent).
+      hu_window: CT Hounsfield window — must match training ingest.
     """
 
     def __init__(self, model_name: str, checkpoint_path,
                  backbone: str = "densenet121", batch_size: int = 1,
                  rna_dim: int = 5005, image_shape=(64, 64, 32),
-                 hu_window=None):
+                 hu_window=None, fold_calibration=None):
         self.cfg: ModelRunConfig = ALL_CONFIGS[model_name]
         self.image_shape = tuple(image_shape)
         self.rna_dim = rna_dim
@@ -56,24 +68,49 @@ class RiskScorer:
                 *self._batch_to_inputs(example), train=False))
         target = jax.tree_util.tree_map(
             lambda s: np.zeros(s.shape, s.dtype), shapes)
-        restored = load_checkpoint(Path(checkpoint_path), {
-            "params": target["params"],
-            "batch_stats": target.get("batch_stats", {})})
-        self._variables = {
-            "params": restored["params"],
-            "batch_stats": restored["batch_stats"],
-            **{k: v for k, v in target.items()
-               if k not in ("params", "batch_stats")},
-        }
+        paths = ([checkpoint_path]
+                 if isinstance(checkpoint_path, (str, Path))
+                 else list(checkpoint_path))
+        self.n_folds = len(paths)
+        extras = {k: v for k, v in target.items()
+                  if k not in ("params", "batch_stats")}
+        per_fold = []
+        for p in paths:
+            restored = load_checkpoint(Path(p), {
+                "params": target["params"],
+                "batch_stats": target.get("batch_stats", {})})
+            per_fold.append({"params": restored["params"],
+                             "batch_stats": restored["batch_stats"],
+                             **extras})
 
-        @jax.jit
-        def _score(variables, batch):
+        if fold_calibration is not None:
+            if len(fold_calibration) != self.n_folds:
+                raise ValueError(
+                    f"fold_calibration has {len(fold_calibration)} entries "
+                    f"for {self.n_folds} checkpoints")
+            self._cal_mu = np.asarray([m for m, _ in fold_calibration],
+                                      np.float32)
+            self._cal_sd = np.asarray([s for _, s in fold_calibration],
+                                      np.float32) + 1e-8
+        else:
+            self._cal_mu = self._cal_sd = None
+
+        def apply_one(variables, batch):
             out = model.apply(variables, *self._batch_to_inputs(batch),
                               train=False)
             hazard, _ = self._hazard_and_aux(out, batch)
             return hazard
 
-        self._score = _score
+        if self.n_folds == 1:
+            self._variables = per_fold[0]
+            self._score = jax.jit(apply_one)
+        else:
+            # stack fold params on a leading axis; ONE vmapped program scores
+            # all folds per dispatch (the fold axis rides the MXU batch dim)
+            self._variables = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *per_fold)
+            self._score = jax.jit(
+                jax.vmap(apply_one, in_axes=(0, None)))
         self.warmup()
 
     def _empty_batch(self, n):
@@ -132,11 +169,22 @@ class RiskScorer:
 
         hazard = self._score(self._variables,
                              {k: jnp.asarray(v) for k, v in batch.items()})
-        return {
-            "risk_score": float(np.asarray(hazard)[0]),
+        h = np.asarray(hazard)
+        if self.n_folds == 1:
+            risk = float(h[0])
+        else:
+            per_fold = h[:, 0]
+            if self._cal_mu is not None:
+                per_fold = (per_fold - self._cal_mu) / self._cal_sd
+            risk = float(per_fold.mean())
+        result = {
+            "risk_score": risk,
             "modalities_used": {
                 "image": bool(mask[0]), "rnaseq": bool(mask[1]),
                 "clinical": bool(mask[2]),
             },
             "model": self.cfg.display_name,
         }
+        if self.n_folds > 1:
+            result["ensemble_folds"] = self.n_folds
+        return result

@@ -29,7 +29,9 @@ sys.path.insert(0, str(REPO_ROOT))
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="partial_modality")
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", required=True, nargs="+",
+                   help="fold checkpoint path(s); several = fold ensemble "
+                        "(one vmapped program scores all folds per request)")
     p.add_argument("--backbone", default="densenet121",
                    choices=["densenet121", "simple_cnn"])
     p.add_argument("--rna-dim", type=int, default=5005)
@@ -45,7 +47,9 @@ def main():
     from multimodal_survival_prediction_tpu.serving import RiskScorer
 
     scorer = RiskScorer(
-        args.model, args.checkpoint, backbone=args.backbone,
+        args.model,
+        args.checkpoint[0] if len(args.checkpoint) == 1 else args.checkpoint,
+        backbone=args.backbone,
         rna_dim=args.rna_dim,
         image_shape=tuple(int(x) for x in args.image_shape.split(",")),
         hu_window=(tuple(float(x) for x in args.hu_window.split(","))

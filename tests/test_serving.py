@@ -14,7 +14,7 @@ from multimodal_survival_prediction_tpu.train.cv import run_cross_validation
 
 
 @pytest.fixture(scope="module")
-def checkpoint(tmp_path_factory):
+def models_dir(tmp_path_factory):
     td = tmp_path_factory.mktemp("serve")
     table, paths = generate_synthetic_cohort(
         td, SyntheticCohortSpec(n_patients=30, rna_dim=80, seed=11,
@@ -23,7 +23,12 @@ def checkpoint(tmp_path_factory):
         RNASEQ_ONLY.with_overrides(n_folds=2), table,
         rnaseq_csv=paths["rnaseq_csv"], results_dir=td / "results",
         models_dir=td / "models", num_epochs=2)
-    return td / "models" / "rnaseq_only" / "fold_1_best.msgpack"
+    return td / "models"
+
+
+@pytest.fixture(scope="module")
+def checkpoint(models_dir):
+    return models_dir / "rnaseq_only" / "fold_1_best.msgpack"
 
 
 def test_scorer_roundtrip(checkpoint):
@@ -45,3 +50,34 @@ def test_scorer_rejects_bad_inputs(checkpoint):
         scorer.score(rnaseq=np.zeros(7))
     with pytest.raises(ValueError, match="at least one modality"):
         scorer.score()
+
+
+def test_scorer_fold_ensemble(models_dir):
+    from multimodal_survival_prediction_tpu.train.predict import (
+        fold_checkpoints,
+    )
+
+    ckpts = fold_checkpoints(models_dir, "rnaseq_only")
+    assert len(ckpts) == 2
+    singles = [RiskScorer("rnaseq_only", c, rna_dim=80) for c in ckpts]
+    ens = RiskScorer("rnaseq_only", ckpts, rna_dim=80)
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=80)
+    per_fold = [s.score(rnaseq=x)["risk_score"] for s in singles]
+    out = ens.score(rnaseq=x)
+    # uncalibrated ensemble = plain mean of the per-fold log-hazards
+    assert out["risk_score"] == pytest.approx(np.mean(per_fold), abs=1e-5)
+    assert out["ensemble_folds"] == 2
+
+    # calibrated: per-fold z-score with supplied (mu, sd) before averaging
+    cal = [(0.5, 2.0), (-0.25, 0.5)]
+    ens_cal = RiskScorer("rnaseq_only", ckpts, rna_dim=80,
+                         fold_calibration=cal)
+    expect = np.mean([(per_fold[0] - 0.5) / (2.0 + 1e-8),
+                      (per_fold[1] + 0.25) / (0.5 + 1e-8)])
+    assert ens_cal.score(rnaseq=x)["risk_score"] == pytest.approx(
+        expect, abs=1e-5)
+
+    with pytest.raises(ValueError, match="fold_calibration"):
+        RiskScorer("rnaseq_only", ckpts, rna_dim=80,
+                   fold_calibration=[(0.0, 1.0)])

@@ -312,3 +312,23 @@ def test_resume_restores_tp_shardings(cohort, tmp_path):
         lambda new, old: jax.device_put(new, old.sharding), restored, state)
     k = state2.params["block0"]["linear"]["dense"]["kernel"]
     assert "model" in str(k.sharding.spec), k.sharding
+
+
+def test_prepared_data_path_is_equivalent(cohort, tmp_path):
+    """run_cross_validation(prepared=...) must reproduce the internal
+    prepare_cv_data path bit-for-bit (the parity harness feeds pre-built
+    arrays to skip a second cohort ingest)."""
+    from multimodal_survival_prediction_tpu.train.cv import prepare_cv_data
+
+    table, paths, _ = cohort
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2)
+    _, o_internal = _run(cfg, cohort, tmp_path, num_epochs=2,
+                         write_outputs=False)
+    prepared = prepare_cv_data(cfg, table, rnaseq_csv=paths["rnaseq_csv"])
+    _, o_prepared = run_cross_validation(
+        cfg, table, rnaseq_csv=paths["rnaseq_csv"], num_epochs=2,
+        backbone="simple_cnn", write_outputs=False, prepared=prepared)
+    for a, b in zip(o_internal, o_prepared):
+        assert a.best_c_index == b.best_c_index
+        assert a.best_epoch == b.best_epoch
+        assert a.history == b.history
