@@ -148,7 +148,10 @@ def run_hyperparameter_sweep(
                 [train_rows] * k_pad, cfg.batch_size, shuffle_rngs)
             state, s1_loss = s1_fn(
                 state, data, put(idx), put(bv), put(np.asarray(eks)),
-                put(np.full(k_pad, cfg.learning_rate, np.float32)))
+                # per-candidate BASE lr: run_cross_validation's stage 1 uses
+                # cfg.learning_rate, which for a swept (seed, lr) candidate
+                # IS that candidate's lr (fixed — no schedule in stage 1)
+                put(np.asarray(base_lrs, np.float32)))
             if epoch % 10 == 0 or epoch == 1:
                 log.info("[%s sweep] stage1 epoch %d mean loss %.4f",
                          cfg.name, epoch, float(jnp.mean(s1_loss)))
