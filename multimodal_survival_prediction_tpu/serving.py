@@ -170,13 +170,13 @@ class RiskScorer:
         hazard = self._score(self._variables,
                              {k: jnp.asarray(v) for k, v in batch.items()})
         h = np.asarray(hazard)
-        if self.n_folds == 1:
-            risk = float(h[0])
-        else:
-            per_fold = h[:, 0]
-            if self._cal_mu is not None:
-                per_fold = (per_fold - self._cal_mu) / self._cal_sd
-            risk = float(per_fold.mean())
+        # (F,) per-fold hazards for this patient; calibration (when supplied)
+        # applies to a single checkpoint too — a caller who passed (mu, sd)
+        # must get z-scored output, not a silently raw hazard
+        per_fold = h[:1] if self.n_folds == 1 else h[:, 0]
+        if self._cal_mu is not None:
+            per_fold = (per_fold - self._cal_mu) / self._cal_sd
+        risk = float(per_fold.mean())
         result = {
             "risk_score": risk,
             "modalities_used": {

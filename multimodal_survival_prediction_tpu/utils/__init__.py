@@ -10,3 +10,11 @@ from .profiling import (  # noqa: F401
     block_and_time,
 )
 from .debugging import check_finite, param_count  # noqa: F401
+
+
+def parse_hu_window(s):
+    """CLI 'lo,hi' -> (lo, hi) floats; None/'' -> None.
+
+    Single source of truth for every entry point's --hu-window flag (the
+    value must match between training ingest and any later scoring)."""
+    return tuple(float(x) for x in s.split(",")) if s else None

@@ -45,6 +45,7 @@ def main():
     args = p.parse_args()
 
     from multimodal_survival_prediction_tpu.serving import RiskScorer
+    from multimodal_survival_prediction_tpu.utils import parse_hu_window
 
     scorer = RiskScorer(
         args.model,
@@ -52,8 +53,7 @@ def main():
         backbone=args.backbone,
         rna_dim=args.rna_dim,
         image_shape=tuple(int(x) for x in args.image_shape.split(",")),
-        hu_window=(tuple(float(x) for x in args.hu_window.split(","))
-                   if args.hu_window else None))
+        hu_window=parse_hu_window(args.hu_window))
     print(f"model {args.model} loaded + compiled; "
           f"serving on {args.host}:{args.port}")
 

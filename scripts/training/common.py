@@ -72,8 +72,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
 
 
 def parse_hu_window(s):
-    """'lo,hi' -> (lo, hi); None/'' -> None."""
-    return tuple(float(x) for x in s.split(",")) if s else None
+    from multimodal_survival_prediction_tpu.utils import parse_hu_window as p
+
+    return p(s)
 
 
 def run_training(args, cfg):

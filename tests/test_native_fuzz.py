@@ -26,12 +26,14 @@ pytestmark = pytest.mark.skipif(
 
 
 def _decode_no_crash(path):
-    """Decode must return or raise — anything but a crash/hang."""
+    """Decode must return or raise — anything but a crash/hang. When it DOES
+    return, the volume must be sane (the assert sits outside the try so a
+    bogus-allocation regression actually fails the test)."""
     try:
         vol = read_nifti_fast(path)
-        assert vol.data.size < 10_000_000  # no absurd allocation escaped
     except Exception:
-        pass
+        return
+    assert vol.data.size < 10_000_000  # no absurd allocation escaped
 
 
 @pytest.fixture()

@@ -81,3 +81,10 @@ def test_scorer_fold_ensemble(models_dir):
     with pytest.raises(ValueError, match="fold_calibration"):
         RiskScorer("rnaseq_only", ckpts, rna_dim=80,
                    fold_calibration=[(0.0, 1.0)])
+
+    # calibration must also apply to a SINGLE checkpoint (a caller who
+    # supplies (mu, sd) gets z-scored output, never a silently raw hazard)
+    single_cal = RiskScorer("rnaseq_only", ckpts[0], rna_dim=80,
+                            fold_calibration=[(0.5, 2.0)])
+    assert single_cal.score(rnaseq=x)["risk_score"] == pytest.approx(
+        (per_fold[0] - 0.5) / (2.0 + 1e-8), abs=1e-5)
