@@ -188,3 +188,58 @@ class RiskScorer:
         if self.n_folds > 1:
             result["ensemble_folds"] = self.n_folds
         return result
+
+
+def make_server(scorer: RiskScorer, host: str = "127.0.0.1", port: int = 0):
+    """Build the HTTP risk-scoring server around a compiled RiskScorer.
+
+    Endpoints (scripts/serving/serve.py is a thin CLI over this; living in
+    the library keeps the HTTP contract under test):
+      GET  /healthz -> {"status": "ok", "model": ...}
+      POST /score   -> body {"rnaseq": [...]?, "age": float?,
+                             "nifti_path": "..."?} -> scorer.score(...)
+
+    Returns a ThreadingHTTPServer (port 0 = OS-assigned, read
+    `server.server_address`); call serve_forever() / shutdown() yourself.
+    """
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok",
+                                  "model": scorer.cfg.display_name})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/score":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                result = scorer.score(
+                    rnaseq=req.get("rnaseq"),
+                    age=req.get("age"),
+                    nifti_path=req.get("nifti_path"),
+                )
+                self._reply(200, result)
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - operational guard
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *a):
+            print(f"[serve] {fmt % a}")
+
+    return ThreadingHTTPServer((host, port), Handler)

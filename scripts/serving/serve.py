@@ -17,9 +17,7 @@ device step + preprocessing.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 REPO_ROOT = Path(__file__).resolve().parents[2]
@@ -57,44 +55,9 @@ def main():
     print(f"model {args.model} loaded + compiled; "
           f"serving on {args.host}:{args.port}")
 
-    class Handler(BaseHTTPRequestHandler):
-        def _reply(self, code, payload):
-            body = json.dumps(payload).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+    from multimodal_survival_prediction_tpu.serving import make_server
 
-        def do_GET(self):
-            if self.path == "/healthz":
-                self._reply(200, {"status": "ok",
-                                  "model": scorer.cfg.display_name})
-            else:
-                self._reply(404, {"error": "not found"})
-
-        def do_POST(self):
-            if self.path != "/score":
-                self._reply(404, {"error": "not found"})
-                return
-            try:
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
-                result = scorer.score(
-                    rnaseq=req.get("rnaseq"),
-                    age=req.get("age"),
-                    nifti_path=req.get("nifti_path"),
-                )
-                self._reply(200, result)
-            except (ValueError, KeyError, json.JSONDecodeError) as e:
-                self._reply(400, {"error": str(e)})
-            except Exception as e:  # pragma: no cover - operational guard
-                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
-
-        def log_message(self, fmt, *a):
-            print(f"[serve] {fmt % a}")
-
-    ThreadingHTTPServer((args.host, args.port), Handler).serve_forever()
+    make_server(scorer, args.host, args.port).serve_forever()
 
 
 if __name__ == "__main__":

@@ -88,3 +88,51 @@ def test_scorer_fold_ensemble(models_dir):
                             fold_calibration=[(0.5, 2.0)])
     assert single_cal.score(rnaseq=x)["risk_score"] == pytest.approx(
         (per_fold[0] - 0.5) / (2.0 + 1e-8), abs=1e-5)
+
+
+def test_http_server_contract(models_dir):
+    """The HTTP layer (serving.make_server) — request/response contract for
+    /healthz, /score, bad input (400), and unknown paths (404)."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from multimodal_survival_prediction_tpu.serving import make_server
+
+    scorer = RiskScorer(
+        "rnaseq_only", models_dir / "rnaseq_only" / "fold_1_best.msgpack",
+        rna_dim=80)
+    server = make_server(scorer, port=0)  # OS-assigned port
+    host, port = server.server_address
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://{host}:{port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+
+        body = json.dumps(
+            {"rnaseq": [0.1] * 80, "age": 61}).encode()
+        with urllib.request.urlopen(
+                urllib.request.Request(f"{base}/score", data=body),
+                timeout=60) as r:
+            out = json.load(r)
+        assert np.isfinite(out["risk_score"])
+        assert out["modalities_used"]["rnaseq"] is True
+
+        with pytest.raises(urllib.error.HTTPError) as e400:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{base}/score",
+                    data=json.dumps({"rnaseq": [1.0] * 3}).encode()),
+                timeout=30)
+        assert e400.value.code == 400
+        assert "genes" in json.load(e400.value)["error"]
+
+        with pytest.raises(urllib.error.HTTPError) as e404:
+            urllib.request.urlopen(f"{base}/nope", timeout=30)
+        assert e404.value.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()
