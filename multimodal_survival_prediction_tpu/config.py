@@ -29,6 +29,11 @@ class ModelRunConfig:
     rna_dim: int = 5005
     image_shape: tuple = (64, 64, 32)
     seed: int = 42
+    # Cox ties handling: 'breslow' (reference parity — torchsurv's default,
+    # final_multimodal.py:178-183 sorted-logcumsumexp form) or 'efron'
+    # (ops/cox.py, more accurate under tied event times; day-resolution
+    # survival data ties often)
+    ties: str = "breslow"
 
     def with_overrides(self, **kw):
         return replace(self, **{k: v for k, v in kw.items() if v is not None})

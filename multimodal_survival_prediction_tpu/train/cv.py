@@ -150,6 +150,7 @@ def run_cross_validation(
         optimizer=cfg.optimizer,
         grad_clip=cfg.grad_clip,
         seed=cfg.seed,
+        ties=cfg.ties,
     )
 
     data = arrays.to_device(mesh=mesh)

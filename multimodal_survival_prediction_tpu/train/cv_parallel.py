@@ -220,6 +220,7 @@ def run_cross_validation_parallel(
         optimizer=cfg.optimizer,
         grad_clip=cfg.grad_clip,
         seed=cfg.seed,
+        ties=cfg.ties,
     )
     trainer = Trainer(model, batch_to_inputs, hazard_and_aux, tcfg)
 

@@ -96,7 +96,7 @@ def run_hyperparameter_sweep(
     tcfg = TrainConfig(
         batch_size=cfg.batch_size, learning_rate=cfg.learning_rate,
         weight_decay=cfg.weight_decay, optimizer=cfg.optimizer,
-        grad_clip=cfg.grad_clip, seed=cfg.seed)
+        grad_clip=cfg.grad_clip, seed=cfg.seed, ties=cfg.ties)
     trainer = Trainer(model, batch_to_inputs, hazard_and_aux, tcfg)
 
     data = arrays.to_device(mesh=mesh)

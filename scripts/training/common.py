@@ -63,6 +63,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "for parity")
     p.add_argument("--stage1-epochs", type=int, default=None,
                    help="SimMLM expert-pretraining epochs (stage 1) override")
+    p.add_argument("--ties", default=None, choices=["breslow", "efron"],
+                   help="Cox ties handling (default breslow = reference "
+                        "parity; efron is more accurate under tied event "
+                        "times — day-resolution survival data ties often)")
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--resume", action="store_true",
                    help="checkpoint full train state periodically and resume "
@@ -106,6 +110,7 @@ def run_training(args, cfg):
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         seed=args.seed,
         stage1_epochs=args.stage1_epochs,
+        ties=args.ties,
         image_shape=(tuple(int(x) for x in args.image_shape.split(","))
                      if args.image_shape else None),
     )

@@ -67,7 +67,7 @@ def main():
             f"'{cfg.name}' has no stage 1")
     cfg = cfg.with_overrides(
         n_folds=args.n_folds, batch_size=args.batch_size,
-        stage1_epochs=args.stage1_epochs,
+        stage1_epochs=args.stage1_epochs, ties=args.ties,
         image_shape=(tuple(int(x) for x in args.image_shape.split(","))
                      if args.image_shape else None))
 

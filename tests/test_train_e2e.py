@@ -332,3 +332,24 @@ def test_prepared_data_path_is_equivalent(cohort, tmp_path):
         assert a.best_c_index == b.best_c_index
         assert a.best_epoch == b.best_epoch
         assert a.history == b.history
+
+
+def test_efron_ties_mode_end_to_end(cohort, tmp_path):
+    """cfg.ties='efron' flows through the CV driver: on a tied-heavy cohort
+    it trains to a different (finite) trajectory than Breslow; without ties
+    the two losses coincide at the op level (tests/test_cox.py)."""
+    table, paths, _ = cohort
+    tied = table.copy()
+    tied["survival_time"] = (tied.survival_time // 300.0) * 300.0 + 10.0
+    cfg_b = RNASEQ_ONLY.with_overrides(n_folds=2)
+    cfg_e = RNASEQ_ONLY.with_overrides(n_folds=2, ties="efron")
+    _, o_b = run_cross_validation(
+        cfg_b, tied, rnaseq_csv=paths["rnaseq_csv"], num_epochs=2,
+        backbone="simple_cnn", write_outputs=False)
+    _, o_e = run_cross_validation(
+        cfg_e, tied, rnaseq_csv=paths["rnaseq_csv"], num_epochs=2,
+        backbone="simple_cnn", write_outputs=False)
+    hb = [h["train_loss"] for h in o_b[0].history]
+    he = [h["train_loss"] for h in o_e[0].history]
+    assert np.all(np.isfinite(hb)) and np.all(np.isfinite(he))
+    assert hb != he  # ties actually engage the Efron correction
