@@ -41,3 +41,25 @@ def load_checkpoint_orbax(path, target_tree):
 
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(Path(path).absolute(), target_tree)
+
+
+def save_fold_meta(ckpt_path, **meta) -> None:
+    """Write `<ckpt>.meta.json` beside a fold checkpoint — the training-time
+    facts scoring tools must match (backbone, image_shape, hu_window,
+    rna_dim, ties, ...). A checkpoint that describes itself kills a silent
+    footgun class: loading simple_cnn weights into a DenseNet tree fails
+    loudly, but a mismatched hu_window or image_shape would just skew risks.
+    """
+    import json
+
+    p = Path(str(ckpt_path) + ".meta.json")
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps(meta, indent=2, default=str))
+
+
+def load_fold_meta(ckpt_path) -> dict | None:
+    """The `.meta.json` beside a checkpoint, or None (pre-metadata runs)."""
+    import json
+
+    p = Path(str(ckpt_path) + ".meta.json")
+    return json.loads(p.read_text()) if p.exists() else None

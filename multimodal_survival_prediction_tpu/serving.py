@@ -44,15 +44,29 @@ class RiskScorer:
     """
 
     def __init__(self, model_name: str, checkpoint_path,
-                 backbone: str = "densenet121", batch_size: int = 1,
-                 rna_dim: int = 5005, image_shape=(64, 64, 32),
+                 backbone: str | None = None, batch_size: int = 1,
+                 rna_dim: int | None = None, image_shape=None,
                  hu_window=None, fold_calibration=None):
+        from .io.checkpoint import load_fold_meta
+
         self.cfg: ModelRunConfig = ALL_CONFIGS[model_name]
-        self.image_shape = tuple(image_shape)
-        self.rna_dim = rna_dim
+        # training-time facts default from the checkpoint's .meta.json
+        # (written by the CV drivers); explicit arguments win
+        first = (checkpoint_path
+                 if isinstance(checkpoint_path, (str, Path))
+                 else list(checkpoint_path)[0])
+        meta = load_fold_meta(first) or {}
+        backbone = backbone or meta.get("backbone") or "densenet121"
+        self.image_shape = tuple(
+            image_shape if image_shape is not None
+            else meta.get("image_shape") or (64, 64, 32))
+        self.rna_dim = int(rna_dim if rna_dim is not None
+                           else meta.get("rna_dim") or 5005)
         self.batch_size = batch_size
         # must match training ingest: a checkpoint trained with an HU window
         # scored on unwindowed CTs sees a shifted intensity distribution
+        if hu_window is None and meta.get("hu_window"):
+            hu_window = meta["hu_window"]
         self.hu_window = tuple(hu_window) if hu_window is not None else None
 
         model, self._batch_to_inputs, hazard_and_aux = \

@@ -27,7 +27,7 @@ from ..data.datasets import (
     load_rnaseq_matrix,
     select_cohort,
 )
-from ..io.checkpoint import save_checkpoint
+from ..io.checkpoint import save_checkpoint, save_fold_meta
 from ..io.results import write_cv_results
 from .adapters import make_model_and_adapters
 from .engine import TrainConfig, Trainer
@@ -317,9 +317,14 @@ def run_cross_validation(
                 save_resume(epoch, best_c, best_epoch, bad, history)
 
         if write_outputs and best_params is not None:
-            save_checkpoint(
-                Path(models_dir) / name / f"fold_{fold}_best.msgpack",
-                best_params)
+            ckpt_path = Path(models_dir) / name / f"fold_{fold}_best.msgpack"
+            save_checkpoint(ckpt_path, best_params)
+            save_fold_meta(
+                ckpt_path, model=name, fold=fold, backbone=backbone,
+                image_shape=list(cfg.image_shape), rna_dim=rna_dim,
+                hu_window=(list(hu_window) if hu_window else None),
+                use_pallas_resample=use_pallas_resample, ties=cfg.ties,
+                best_epoch=best_epoch, best_c_index=float(best_c))
 
         outcome = FoldOutcome(
             fold=fold, best_c_index=float(best_c), best_epoch=best_epoch,

@@ -48,7 +48,7 @@ import optax
 import pandas as pd
 
 from ..config import ModelRunConfig
-from ..io.checkpoint import save_checkpoint
+from ..io.checkpoint import save_checkpoint, save_fold_meta
 from ..io.results import write_cv_results
 from .adapters import make_model_and_adapters
 from .cv import FoldOutcome, prepare_cv_data
@@ -372,9 +372,14 @@ def run_cross_validation_parallel(
     for k in range(n_folds):
         tr, va, tss = splits[k]
         if write_outputs and best_params[k] is not None:
-            save_checkpoint(
-                Path(models_dir) / name / f"fold_{k + 1}_best.msgpack",
-                best_params[k])
+            ckpt_path = Path(models_dir) / name / f"fold_{k + 1}_best.msgpack"
+            save_checkpoint(ckpt_path, best_params[k])
+            save_fold_meta(
+                ckpt_path, model=name, fold=k + 1, backbone=backbone,
+                image_shape=list(cfg.image_shape), rna_dim=rna_dim,
+                hu_window=(list(hu_window) if hu_window else None),
+                use_pallas_resample=use_pallas_resample, ties=cfg.ties,
+                best_epoch=int(best_epoch[k]), best_c_index=float(best_c[k]))
         outcomes.append(FoldOutcome(
             fold=k + 1, best_c_index=float(best_c[k]),
             best_epoch=int(best_epoch[k]), train_size=len(tr),

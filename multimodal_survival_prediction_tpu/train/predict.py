@@ -33,7 +33,7 @@ def predict_risk(
     checkpoint_path,
     table: pd.DataFrame,
     rnaseq_csv=None,
-    backbone: str = "densenet121",
+    backbone: str | None = None,
     labeled_only: bool = True,
     batch_size: int = 64,
     use_pallas: bool = False,
@@ -43,9 +43,29 @@ def predict_risk(
     when ``checkpoint_path`` is a sequence of paths (per-fold z-scored
     log-hazards averaged; one compiled scorer serves all folds).
 
+    ``backbone``/``hu_window``/image shape default from the checkpoint's
+    ``.meta.json`` (written at training time) so scoring matches training
+    ingest without the caller re-stating it; explicit arguments win.
+
     Returns columns (patient_id, risk_score, survival_time, event) — the
     test-predictions contract consumed by scripts/analysis/evaluate_model.py
     (reference evaluate_model.py expects exactly these)."""
+    from ..io.checkpoint import load_fold_meta
+
+    paths = ([checkpoint_path]
+             if isinstance(checkpoint_path, (str, Path))
+             else list(checkpoint_path))
+    meta = load_fold_meta(paths[0]) or {}
+    backbone = backbone or meta.get("backbone") or "densenet121"
+    if hu_window is None and meta.get("hu_window"):
+        hu_window = tuple(meta["hu_window"])
+    if meta.get("image_shape") and tuple(meta["image_shape"]) != tuple(
+            cfg.image_shape):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg,
+                                  image_shape=tuple(meta["image_shape"]))
+
     cohort = select_cohort(table, cfg.name)
     rnaseq_df = None
     if "rnaseq" in cfg.modalities and rnaseq_csv is not None and Path(
@@ -88,9 +108,6 @@ def predict_risk(
         hazard, _ = hazard_and_aux(out, batch)
         return hazard
 
-    paths = ([checkpoint_path]
-             if isinstance(checkpoint_path, (str, Path))
-             else list(checkpoint_path))
     per_ckpt = np.empty((len(paths), n), np.float32)
     for ci, cp in enumerate(paths):
         restored = load_checkpoint(cp, {

@@ -21,8 +21,9 @@ def main():
                    help="score with ALL fold checkpoints (per-fold z-scored "
                         "log-hazards averaged) instead of --fold's one")
     p.add_argument("--models-dir", default="models")
-    p.add_argument("--backbone", default="densenet121",
-                   choices=["densenet121", "simple_cnn"])
+    p.add_argument("--backbone", default=None,
+                   choices=["densenet121", "simple_cnn"],
+                   help="default: the checkpoint's .meta.json, else densenet121")
     p.add_argument("--pallas-resample", action="store_true")
     p.add_argument("--hu-window", default=None,
                    help="CT Hounsfield window 'lo,hi' — must match the value "

@@ -30,10 +30,13 @@ def main():
     p.add_argument("--checkpoint", required=True, nargs="+",
                    help="fold checkpoint path(s); several = fold ensemble "
                         "(one vmapped program scores all folds per request)")
-    p.add_argument("--backbone", default="densenet121",
-                   choices=["densenet121", "simple_cnn"])
-    p.add_argument("--rna-dim", type=int, default=5005)
-    p.add_argument("--image-shape", default="64,64,32")
+    p.add_argument("--backbone", default=None,
+                   choices=["densenet121", "simple_cnn"],
+                   help="default: the checkpoint's .meta.json, else densenet121")
+    p.add_argument("--rna-dim", type=int, default=None,
+                   help="default: the checkpoint's .meta.json, else 5005")
+    p.add_argument("--image-shape", default=None,
+                   help="default: the checkpoint's .meta.json, else 64,64,32")
     p.add_argument("--hu-window", default=None,
                    help="CT Hounsfield window 'lo,hi' — must match the value "
                         "the checkpoint was TRAINED with (use the = form for "
@@ -50,7 +53,8 @@ def main():
         args.checkpoint[0] if len(args.checkpoint) == 1 else args.checkpoint,
         backbone=args.backbone,
         rna_dim=args.rna_dim,
-        image_shape=tuple(int(x) for x in args.image_shape.split(",")),
+        image_shape=(tuple(int(x) for x in args.image_shape.split(","))
+                     if args.image_shape else None),
         hu_window=parse_hu_window(args.hu_window))
     print(f"model {args.model} loaded + compiled; "
           f"serving on {args.host}:{args.port}")

@@ -71,8 +71,23 @@ def test_predict_hu_window(tmp_path):
         hu_window=(0.0, 150.0))
     ckpt = tmp_path / "models" / "image_only" / "fold_1_best.msgpack"
 
-    windowed = predict_risk(cfg, ckpt, table, hu_window=(0.0, 150.0))
-    unwindowed = predict_risk(cfg, ckpt, table)
-    assert np.all(np.isfinite(windowed.risk_score))
-    assert not np.allclose(windowed.risk_score.values,
-                           unwindowed.risk_score.values)
+    # the checkpoint's .meta.json recorded hu_window at training time, so a
+    # bare predict_risk scores with the MATCHED window automatically
+    auto = predict_risk(cfg, ckpt, table)
+    explicit = predict_risk(cfg, ckpt, table, hu_window=(0.0, 150.0))
+    assert np.all(np.isfinite(auto.risk_score))
+    np.testing.assert_allclose(auto.risk_score.values,
+                               explicit.risk_score.values, atol=1e-6)
+    # an explicitly mismatched window produces different risks (the silent
+    # skew the metadata exists to prevent)
+    mismatched = predict_risk(cfg, ckpt, table, hu_window=(0.0, 50.0))
+    assert not np.allclose(auto.risk_score.values,
+                           mismatched.risk_score.values)
+
+    meta_path = ckpt.parent / "fold_1_best.msgpack.meta.json"
+    assert meta_path.exists()
+    import json
+
+    meta = json.loads(meta_path.read_text())
+    assert meta["hu_window"] == [0.0, 150.0]
+    assert meta["image_shape"] == [16, 16, 8]

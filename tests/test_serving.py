@@ -136,3 +136,12 @@ def test_http_server_contract(models_dir):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_scorer_meta_inference(checkpoint):
+    """RiskScorer infers rna_dim/backbone/image_shape from the checkpoint's
+    .meta.json when not explicitly given."""
+    scorer = RiskScorer("rnaseq_only", checkpoint)  # no rna_dim argument
+    assert scorer.rna_dim == 80
+    out = scorer.score(rnaseq=np.zeros(80))
+    assert np.isfinite(out["risk_score"])
