@@ -25,6 +25,11 @@ DEFAULT_MODELS = ("rnaseq_only", "image_only", "simple_fusion",
 def main():
     p = base_parser(__doc__)
     p.add_argument("--models", default=",".join(DEFAULT_MODELS))
+    p.add_argument("--full-analysis", action="store_true",
+                   help="after training, run the ENTIRE analysis battery "
+                        "(analyze_all_results, comprehensive_analysis, "
+                        "final_comparison, report figures, ensemble KM "
+                        "curves + evaluation) over the fresh results")
     args = p.parse_args()
 
     from multimodal_survival_prediction_tpu.analysis import (
@@ -49,6 +54,33 @@ def main():
         md = generate_summary_md(df, None, out / "SUMMARY.md")
         export_results_json(df, None, out / "results.json")
         print(md)
+
+    if args.full_analysis:
+        import subprocess
+
+        a = REPO_ROOT / "scripts" / "analysis"
+        common = ["--results-root", str(args.results_dir),
+                  "--data-root", str(args.data_root)]
+        km = ["--model", "partial_modality", "--ensemble",
+              "--models-dir", str(args.models_dir)]
+        if args.hu_window:
+            km += [f"--hu-window={args.hu_window}"]
+        steps = [
+            [str(a / "analyze_all_results.py"), *common],
+            [str(a / "comprehensive_analysis.py"), *common],
+            [str(a / "final_comparison.py"), *common],
+            [str(a / "create_report_figures.py"), *common],
+            [str(a / "generate_km_curves.py"), *common, *km],
+            [str(a / "evaluate_model.py"), *common,
+             "--predictions",
+             str(Path(args.results_dir) / "test_predictions.csv"),
+             "--out-dir", str(Path(args.results_dir) / "evaluation")],
+        ]
+        for cmd in steps:
+            print(f"\n--- {Path(cmd[0]).name}")
+            r = subprocess.run([sys.executable, *cmd])
+            if r.returncode:
+                print(f"{Path(cmd[0]).name} FAILED (rc={r.returncode})")
 
 
 if __name__ == "__main__":
