@@ -147,14 +147,9 @@ class RiskScorer:
         # pay the compile wait.
         _sync(self._score(self._variables, self._empty_batch(self.batch_size)))
 
-    def score(self, rnaseq=None, age=None, volume=None,
-              nifti_path=None) -> dict:
-        """Score one patient. Missing modalities are zero-filled with the
-        matching mask bit cleared (the framework's standard missingness
-        semantics). `volume` is a raw (D,H,W) array; `nifti_path` loads one."""
-        # writable host copy (np.asarray over jax arrays is read-only)
-        batch = {k: np.array(v) for k, v in self._empty_batch(
-            self.batch_size).items()}
+    def _fill_row(self, batch, i, rnaseq=None, age=None, volume=None,
+                  nifti_path=None):
+        """Fill row `i` of a host batch; returns the modality mask."""
         mask = np.zeros(3, np.float32)
         if nifti_path is not None and volume is None:
             from .data.native import read_nifti_fast
@@ -165,43 +160,69 @@ class RiskScorer:
                 resample_normalize_bucketed(np.asarray(volume),
                                             self.image_shape,
                                             hu_window=self.hu_window))
-            batch["image"][0, ..., 0] = vol
+            batch["image"][i, ..., 0] = vol
             mask[0] = 1.0
         if rnaseq is not None:
             rna = np.asarray(rnaseq, np.float32)
             if rna.shape[-1] != self.rna_dim:
                 raise ValueError(
                     f"expected {self.rna_dim} genes, got {rna.shape[-1]}")
-            batch["rnaseq"][0] = rna
+            batch["rnaseq"][i] = rna
             mask[1] = 1.0
         if age is not None:
-            batch["clinical"][0, 0] = float(age) / 100.0
+            batch["clinical"][i, 0] = float(age) / 100.0
             mask[2] = 1.0
         if not mask.any():
             raise ValueError("at least one modality is required")
-        batch["mask"][0] = mask
+        batch["mask"][i] = mask
+        return mask
 
-        hazard = self._score(self._variables,
-                             {k: jnp.asarray(v) for k, v in batch.items()})
-        h = np.asarray(hazard)
-        # (F,) per-fold hazards for this patient; calibration (when supplied)
-        # applies to a single checkpoint too — a caller who passed (mu, sd)
-        # must get z-scored output, not a silently raw hazard
-        per_fold = h[:1] if self.n_folds == 1 else h[:, 0]
-        if self._cal_mu is not None:
-            per_fold = (per_fold - self._cal_mu) / self._cal_sd
-        risk = float(per_fold.mean())
-        result = {
-            "risk_score": risk,
-            "modalities_used": {
-                "image": bool(mask[0]), "rnaseq": bool(mask[1]),
-                "clinical": bool(mask[2]),
-            },
-            "model": self.cfg.display_name,
-        }
-        if self.n_folds > 1:
-            result["ensemble_folds"] = self.n_folds
-        return result
+    def score(self, rnaseq=None, age=None, volume=None,
+              nifti_path=None) -> dict:
+        """Score one patient. Missing modalities are zero-filled with the
+        matching mask bit cleared (the framework's standard missingness
+        semantics). `volume` is a raw (D,H,W) array; `nifti_path` loads one."""
+        return self.score_many([dict(rnaseq=rnaseq, age=age, volume=volume,
+                                     nifti_path=nifti_path)])[0]
+
+    def score_many(self, patients) -> list[dict]:
+        """Score a sequence of patient dicts (keys: rnaseq/age/volume/
+        nifti_path) — requests fill the compiled batch instead of costing one
+        dispatch each, so micro-batched serving rides the same MXU batching
+        the trainer uses. Chunks of `batch_size`; one dispatch per chunk."""
+        results: list[dict] = []
+        for start in range(0, len(patients), self.batch_size):
+            chunk = patients[start:start + self.batch_size]
+            # writable host copy (np.asarray over jax arrays is read-only)
+            batch = {k: np.array(v) for k, v in self._empty_batch(
+                self.batch_size).items()}
+            masks = [self._fill_row(batch, i, **p)
+                     for i, p in enumerate(chunk)]
+            hazard = self._score(
+                self._variables,
+                {k: jnp.asarray(v) for k, v in batch.items()})
+            h = np.asarray(hazard)
+            # (F, B) per-fold hazards; calibration (when supplied) applies to
+            # a single checkpoint too — a caller who passed (mu, sd) must get
+            # z-scored output, not a silently raw hazard
+            per_fold = h[None] if self.n_folds == 1 else h
+            if self._cal_mu is not None:
+                per_fold = ((per_fold - self._cal_mu[:, None])
+                            / self._cal_sd[:, None])
+            risks = per_fold.mean(axis=0)
+            for i, mask in enumerate(masks):
+                result = {
+                    "risk_score": float(risks[i]),
+                    "modalities_used": {
+                        "image": bool(mask[0]), "rnaseq": bool(mask[1]),
+                        "clinical": bool(mask[2]),
+                    },
+                    "model": self.cfg.display_name,
+                }
+                if self.n_folds > 1:
+                    result["ensemble_folds"] = self.n_folds
+                results.append(result)
+        return results
 
 
 def make_server(scorer: RiskScorer, host: str = "127.0.0.1", port: int = 0):
@@ -209,9 +230,11 @@ def make_server(scorer: RiskScorer, host: str = "127.0.0.1", port: int = 0):
 
     Endpoints (scripts/serving/serve.py is a thin CLI over this; living in
     the library keeps the HTTP contract under test):
-      GET  /healthz -> {"status": "ok", "model": ...}
-      POST /score   -> body {"rnaseq": [...]?, "age": float?,
-                             "nifti_path": "..."?} -> scorer.score(...)
+      GET  /healthz      -> {"status": "ok", "model": ...}
+      POST /score        -> body {"rnaseq": [...]?, "age": float?,
+                                  "nifti_path": "..."?} -> scorer.score(...)
+      POST /score_batch  -> body {"patients": [<score bodies>...]} ->
+                            {"results": scorer.score_many(...)}
 
     Returns a ThreadingHTTPServer (port 0 = OS-assigned, read
     `server.server_address`); call serve_forever() / shutdown() yourself.
@@ -236,12 +259,19 @@ def make_server(scorer: RiskScorer, host: str = "127.0.0.1", port: int = 0):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/score":
+            if self.path not in ("/score", "/score_batch"):
                 self._reply(404, {"error": "not found"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/score_batch":
+                    results = scorer.score_many([
+                        dict(rnaseq=p.get("rnaseq"), age=p.get("age"),
+                             nifti_path=p.get("nifti_path"))
+                        for p in req.get("patients", [])])
+                    self._reply(200, {"results": results})
+                    return
                 result = scorer.score(
                     rnaseq=req.get("rnaseq"),
                     age=req.get("age"),

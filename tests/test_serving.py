@@ -133,6 +133,19 @@ def test_http_server_contract(models_dir):
         with pytest.raises(urllib.error.HTTPError) as e404:
             urllib.request.urlopen(f"{base}/nope", timeout=30)
         assert e404.value.code == 404
+
+        # batch endpoint: N patients in one request
+        bbody = json.dumps({"patients": [
+            {"rnaseq": [0.1] * 80}, {"rnaseq": [0.3] * 80, "age": 70},
+        ]}).encode()
+        with urllib.request.urlopen(
+                urllib.request.Request(f"{base}/score_batch", data=bbody),
+                timeout=60) as r:
+            batch_out = json.load(r)["results"]
+        assert len(batch_out) == 2
+        assert all(np.isfinite(b["risk_score"]) for b in batch_out)
+        assert batch_out[0]["modalities_used"]["clinical"] is False
+        assert batch_out[1]["modalities_used"]["clinical"] is True
     finally:
         server.shutdown()
         server.server_close()
@@ -145,3 +158,19 @@ def test_scorer_meta_inference(checkpoint):
     assert scorer.rna_dim == 80
     out = scorer.score(rnaseq=np.zeros(80))
     assert np.isfinite(out["risk_score"])
+
+
+def test_score_many_matches_singles(checkpoint):
+    """Micro-batched scoring (one dispatch per batch_size chunk) must equal
+    one-at-a-time scoring, including across chunk boundaries."""
+    scorer4 = RiskScorer("rnaseq_only", checkpoint, batch_size=4)
+    scorer1 = RiskScorer("rnaseq_only", checkpoint)
+    rng = np.random.default_rng(7)
+    patients = [dict(rnaseq=rng.normal(size=80)) for _ in range(6)]
+    patients[2]["age"] = 70.0
+    many = scorer4.score_many(patients)
+    singles = [scorer1.score(**p) for p in patients]
+    assert len(many) == 6
+    for m, s in zip(many, singles):
+        assert m["risk_score"] == pytest.approx(s["risk_score"], abs=1e-5)
+        assert m["modalities_used"] == s["modalities_used"]
