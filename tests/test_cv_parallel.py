@@ -150,7 +150,9 @@ def test_parallel_cv_on_fold_mesh(cohort, tmp_path):
     import os
 
     names = os.listdir(tmp_path / "models" / "partial_modality")
-    assert sorted(names) == [f"fold_{k}_best.msgpack" for k in (1, 2, 3)]
+    assert sorted(names) == sorted(
+        [f"fold_{k}_best.msgpack" for k in (1, 2, 3)]
+        + [f"fold_{k}_best.msgpack.meta.json" for k in (1, 2, 3)])
 
 
 def test_parallel_cv_2d_fold_by_data_mesh(cohort, tmp_path):
