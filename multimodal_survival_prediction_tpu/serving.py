@@ -50,12 +50,16 @@ class RiskScorer:
         from .io.checkpoint import load_fold_meta
 
         self.cfg: ModelRunConfig = ALL_CONFIGS[model_name]
+        # materialize ONCE: checkpoint_path may be a generator (e.g. a
+        # Path.glob), which a second list() would find exhausted
+        paths = ([checkpoint_path]
+                 if isinstance(checkpoint_path, (str, Path))
+                 else list(checkpoint_path))
+        if not paths:
+            raise ValueError("checkpoint_path is empty")
         # training-time facts default from the checkpoint's .meta.json
         # (written by the CV drivers); explicit arguments win
-        first = (checkpoint_path
-                 if isinstance(checkpoint_path, (str, Path))
-                 else list(checkpoint_path)[0])
-        meta = load_fold_meta(first) or {}
+        meta = load_fold_meta(paths[0]) or {}
         backbone = backbone or meta.get("backbone") or "densenet121"
         self.image_shape = tuple(
             image_shape if image_shape is not None
@@ -82,9 +86,6 @@ class RiskScorer:
                 *self._batch_to_inputs(example), train=False))
         target = jax.tree_util.tree_map(
             lambda s: np.zeros(s.shape, s.dtype), shapes)
-        paths = ([checkpoint_path]
-                 if isinstance(checkpoint_path, (str, Path))
-                 else list(checkpoint_path))
         self.n_folds = len(paths)
         extras = {k: v for k, v in target.items()
                   if k not in ("params", "batch_stats")}
@@ -128,15 +129,23 @@ class RiskScorer:
         self.warmup()
 
     def _empty_batch(self, n):
+        return {k: jnp.asarray(v)
+                for k, v in self._empty_batch_host(n).items()}
+
+    def _empty_batch_host(self, n):
+        """Host-side zero batch (np). score_many fills this and ships it in
+        ONE host->device transfer — materializing device arrays just to
+        np.array them back would pay a pointless device round-trip per chunk
+        (readbacks are the expensive fence on the axon tunnel)."""
         return {
-            "image": jnp.zeros((n, *self.image_shape, 1), jnp.float32),
-            "rnaseq": jnp.zeros((n, self.rna_dim), jnp.float32),
-            "clinical": jnp.zeros((n, 1), jnp.float32),
-            "mask": jnp.zeros((n, 3), jnp.float32),
-            "time": jnp.zeros((n,), jnp.float32),
-            "event": jnp.zeros((n,), jnp.float32),
-            "svalid": jnp.zeros((n,), jnp.float32),
-            "valid": jnp.ones((n,), jnp.float32),
+            "image": np.zeros((n, *self.image_shape, 1), np.float32),
+            "rnaseq": np.zeros((n, self.rna_dim), np.float32),
+            "clinical": np.zeros((n, 1), np.float32),
+            "mask": np.zeros((n, 3), np.float32),
+            "time": np.zeros((n,), np.float32),
+            "event": np.zeros((n,), np.float32),
+            "svalid": np.zeros((n,), np.float32),
+            "valid": np.ones((n,), np.float32),
         }
 
     def warmup(self):
@@ -193,9 +202,7 @@ class RiskScorer:
         results: list[dict] = []
         for start in range(0, len(patients), self.batch_size):
             chunk = patients[start:start + self.batch_size]
-            # writable host copy (np.asarray over jax arrays is read-only)
-            batch = {k: np.array(v) for k, v in self._empty_batch(
-                self.batch_size).items()}
+            batch = self._empty_batch_host(self.batch_size)
             masks = [self._fill_row(batch, i, **p)
                      for i, p in enumerate(chunk)]
             hazard = self._score(
@@ -265,11 +272,20 @@ def make_server(scorer: RiskScorer, host: str = "127.0.0.1", port: int = 0):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                # well-formed JSON of the wrong SHAPE is a client error
+                # (400), not a server fault (500)
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
                 if self.path == "/score_batch":
+                    patients = req.get("patients", [])
+                    if not isinstance(patients, list) or not all(
+                            isinstance(p, dict) for p in patients):
+                        raise ValueError(
+                            "'patients' must be a list of objects")
                     results = scorer.score_many([
                         dict(rnaseq=p.get("rnaseq"), age=p.get("age"),
                              nifti_path=p.get("nifti_path"))
-                        for p in req.get("patients", [])])
+                        for p in patients])
                     self._reply(200, {"results": results})
                     return
                 result = scorer.score(

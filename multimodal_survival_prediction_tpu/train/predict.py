@@ -36,7 +36,7 @@ def predict_risk(
     backbone: str | None = None,
     labeled_only: bool = True,
     batch_size: int = 64,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
     hu_window=None,
 ) -> pd.DataFrame:
     """Score a cohort with a trained fold checkpoint — or a FOLD ENSEMBLE
@@ -59,6 +59,8 @@ def predict_risk(
     backbone = backbone or meta.get("backbone") or "densenet121"
     if hu_window is None and meta.get("hu_window"):
         hu_window = tuple(meta["hu_window"])
+    if use_pallas is None:
+        use_pallas = bool(meta.get("use_pallas_resample", False))
     if meta.get("image_shape") and tuple(meta["image_shape"]) != tuple(
             cfg.image_shape):
         import dataclasses

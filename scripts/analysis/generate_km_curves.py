@@ -67,7 +67,7 @@ def main():
 
     pred = predict_risk(cfg, ckpt, table, rnaseq_csv=rnaseq_csv,
                         backbone=args.backbone,
-                        use_pallas=args.pallas_resample,
+                        use_pallas=args.pallas_resample or None,
                         hu_window=parse_hu_window(args.hu_window))
     hi, lo, lr = km_groups(pred)
     out_dir = Path(args.out_dir or Path(args.results_root) / "km_curves")

@@ -61,21 +61,35 @@ def main():
         a = REPO_ROOT / "scripts" / "analysis"
         common = ["--results-root", str(args.results_dir),
                   "--data-root", str(args.data_root)]
-        km = ["--model", "partial_modality", "--ensemble",
-              "--models-dir", str(args.models_dir)]
-        if args.hu_window:
+        # KM/evaluation need fold checkpoints: use the flagship when it was
+        # trained this run, else the first selected model that has them
+        trained = [m.strip() for m in args.models.split(",")]
+        km_model = next(
+            (m for m in (["partial_modality"] + trained)
+             if m in trained
+             and any((Path(args.models_dir) / m).glob("fold_*_best.msgpack"))
+             ), None)
+        km = (["--model", km_model, "--ensemble",
+               "--models-dir", str(args.models_dir)] if km_model else None)
+        if km is not None and args.hu_window:
             km += [f"--hu-window={args.hu_window}"]
         steps = [
             [str(a / "analyze_all_results.py"), *common],
             [str(a / "comprehensive_analysis.py"), *common],
             [str(a / "final_comparison.py"), *common],
             [str(a / "create_report_figures.py"), *common],
-            [str(a / "generate_km_curves.py"), *common, *km],
-            [str(a / "evaluate_model.py"), *common,
-             "--predictions",
-             str(Path(args.results_dir) / "test_predictions.csv"),
-             "--out-dir", str(Path(args.results_dir) / "evaluation")],
         ]
+        if km is not None:
+            steps += [
+                [str(a / "generate_km_curves.py"), *common, *km],
+                [str(a / "evaluate_model.py"), *common,
+                 "--predictions",
+                 str(Path(args.results_dir) / "test_predictions.csv"),
+                 "--out-dir", str(Path(args.results_dir) / "evaluation")],
+            ]
+        else:
+            print("skipping KM curves + evaluation: no fold checkpoints "
+                  "for any selected model under", args.models_dir)
         for cmd in steps:
             print(f"\n--- {Path(cmd[0]).name}")
             r = subprocess.run([sys.executable, *cmd])

@@ -35,6 +35,10 @@ def main():
                    help="default: the checkpoint's .meta.json, else densenet121")
     p.add_argument("--rna-dim", type=int, default=None,
                    help="default: the checkpoint's .meta.json, else 5005")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="compiled scoring batch: /score_batch micro-batches "
+                        "requests into chunks of this size (one dispatch "
+                        "per chunk); single /score requests are padded")
     p.add_argument("--image-shape", default=None,
                    help="default: the checkpoint's .meta.json, else 64,64,32")
     p.add_argument("--hu-window", default=None,
@@ -53,6 +57,7 @@ def main():
         args.checkpoint[0] if len(args.checkpoint) == 1 else args.checkpoint,
         backbone=args.backbone,
         rna_dim=args.rna_dim,
+        batch_size=args.batch_size,
         image_shape=(tuple(int(x) for x in args.image_shape.split(","))
                      if args.image_shape else None),
         hu_window=parse_hu_window(args.hu_window))

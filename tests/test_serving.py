@@ -146,6 +146,15 @@ def test_http_server_contract(models_dir):
         assert all(np.isfinite(b["risk_score"]) for b in batch_out)
         assert batch_out[0]["modalities_used"]["clinical"] is False
         assert batch_out[1]["modalities_used"]["clinical"] is True
+
+        # well-formed JSON of the wrong SHAPE is a client error (400)
+        for path, bad in (("/score", b"[1, 2]"),
+                          ("/score_batch", b'{"patients": ["x"]}')):
+            with pytest.raises(urllib.error.HTTPError) as eshape:
+                urllib.request.urlopen(
+                    urllib.request.Request(f"{base}{path}", data=bad),
+                    timeout=30)
+            assert eshape.value.code == 400
     finally:
         server.shutdown()
         server.server_close()
