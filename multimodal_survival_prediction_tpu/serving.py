@@ -41,12 +41,18 @@ class RiskScorer:
         it, the raw per-fold hazards are averaged (fold shifts are constant
         per checkpoint, so request ORDERING stays consistent).
       hu_window: CT Hounsfield window — must match training ingest.
+      no_image_variant: also compile an image-less scoring program at
+        warmup (zero image constant-folded on device): image-less requests
+        then skip shipping the zero image plane, which dominates request
+        bytes over a slow link (docs/SERVING.md latency table). Opt-in
+        because it is a second multi-minute compile on the remote tunnel.
     """
 
     def __init__(self, model_name: str, checkpoint_path,
                  backbone: str | None = None, batch_size: int = 1,
                  rna_dim: int | None = None, image_shape=None,
-                 hu_window=None, fold_calibration=None):
+                 hu_window=None, fold_calibration=None,
+                 no_image_variant: bool = False):
         from .io.checkpoint import load_fold_meta
 
         self.cfg: ModelRunConfig = ALL_CONFIGS[model_name]
@@ -116,29 +122,40 @@ class RiskScorer:
             hazard, _ = self._hazard_and_aux(out, batch)
             return hazard
 
+        def apply_no_image(variables, batch):
+            # zero image materialized INSIDE the traced program: image-less
+            # requests skip shipping the (B,D,H,W,1) zero plane to the
+            # device — on the axon tunnel that plane dominates the request
+            # bytes (measured: ~2.1 of 2.2 MB at batch 4, docs/SERVING.md)
+            b = dict(batch)
+            b["image"] = jnp.zeros(
+                (self.batch_size, *self.image_shape, 1), jnp.float32)
+            return apply_one(variables, b)
+
         if self.n_folds == 1:
             self._variables = per_fold[0]
-            self._score = jax.jit(apply_one)
+            maybe_vmap = lambda f: f  # noqa: E731
         else:
             # stack fold params on a leading axis; ONE vmapped program scores
             # all folds per dispatch (the fold axis rides the MXU batch dim)
             self._variables = jax.tree_util.tree_map(
                 lambda *xs: np.stack(xs), *per_fold)
-            self._score = jax.jit(
-                jax.vmap(apply_one, in_axes=(0, None)))
-        self.warmup()
+            maybe_vmap = lambda f: jax.vmap(f, in_axes=(0, None))  # noqa: E731
+        self._score = jax.jit(maybe_vmap(apply_one))
+        self._score_no_image = jax.jit(maybe_vmap(apply_no_image))
+        self._no_image_ready = False
+        self.warmup(no_image_variant=no_image_variant)
 
     def _empty_batch(self, n):
         return {k: jnp.asarray(v)
                 for k, v in self._empty_batch_host(n).items()}
 
-    def _empty_batch_host(self, n):
+    def _empty_batch_host(self, n, with_image=True):
         """Host-side zero batch (np). score_many fills this and ships it in
         ONE host->device transfer — materializing device arrays just to
         np.array them back would pay a pointless device round-trip per chunk
         (readbacks are the expensive fence on the axon tunnel)."""
-        return {
-            "image": np.zeros((n, *self.image_shape, 1), np.float32),
+        b = {
             "rnaseq": np.zeros((n, self.rna_dim), np.float32),
             "clinical": np.zeros((n, 1), np.float32),
             "mask": np.zeros((n, 3), np.float32),
@@ -147,14 +164,32 @@ class RiskScorer:
             "svalid": np.zeros((n,), np.float32),
             "valid": np.ones((n,), np.float32),
         }
+        if with_image:
+            b["image"] = np.zeros((n, *self.image_shape, 1), np.float32)
+        return b
 
-    def warmup(self):
+    def warmup(self, no_image_variant: bool = False):
         from .utils.profiling import _sync
 
         # _sync (value readback), not block_until_ready: the latter returns
         # early on the axon remote backend, so the first request would still
         # pay the compile wait.
         _sync(self._score(self._variables, self._empty_batch(self.batch_size)))
+        if no_image_variant:
+            self.warmup_no_image()
+
+    def warmup_no_image(self):
+        """Compile the image-less scoring program (zero image constant
+        on-device, so image-less requests skip shipping the zero plane).
+        Opt-in: it is a SECOND compile — multi-minute on the remote tunnel —
+        and score_many only routes to it once warmed (a cold program would
+        stall an unlucky request instead)."""
+        from .utils.profiling import _sync
+
+        batch = {k: jnp.asarray(v) for k, v in self._empty_batch_host(
+            self.batch_size, with_image=False).items()}
+        _sync(self._score_no_image(self._variables, batch))
+        self._no_image_ready = True
 
     def _fill_row(self, batch, i, rnaseq=None, age=None, volume=None,
                   nifti_path=None):
@@ -202,10 +237,18 @@ class RiskScorer:
         results: list[dict] = []
         for start in range(0, len(patients), self.batch_size):
             chunk = patients[start:start + self.batch_size]
-            batch = self._empty_batch_host(self.batch_size)
+            wants_image = any(p.get("volume") is not None
+                              or p.get("nifti_path") is not None
+                              for p in chunk)
+            # image-less chunks route to the warmed no-image program and skip
+            # shipping the zero image plane (the bulk of the request bytes)
+            use_noimg = not wants_image and self._no_image_ready
+            batch = self._empty_batch_host(self.batch_size,
+                                           with_image=not use_noimg)
             masks = [self._fill_row(batch, i, **p)
                      for i, p in enumerate(chunk)]
-            hazard = self._score(
+            score = self._score_no_image if use_noimg else self._score
+            hazard = score(
                 self._variables,
                 {k: jnp.asarray(v) for k, v in batch.items()})
             h = np.asarray(hazard)

@@ -39,6 +39,11 @@ def main():
                    help="compiled scoring batch: /score_batch micro-batches "
                         "requests into chunks of this size (one dispatch "
                         "per chunk); single /score requests are padded")
+    p.add_argument("--warm-no-image", action="store_true",
+                   help="also compile an image-less scoring program at "
+                        "startup: image-less requests then skip shipping "
+                        "the zero CT plane (a second multi-minute compile "
+                        "on the remote tunnel)")
     p.add_argument("--image-shape", default=None,
                    help="default: the checkpoint's .meta.json, else 64,64,32")
     p.add_argument("--hu-window", default=None,
@@ -58,6 +63,7 @@ def main():
         backbone=args.backbone,
         rna_dim=args.rna_dim,
         batch_size=args.batch_size,
+        no_image_variant=args.warm_no_image,
         image_shape=(tuple(int(x) for x in args.image_shape.split(","))
                      if args.image_shape else None),
         hu_window=parse_hu_window(args.hu_window))

@@ -183,3 +183,43 @@ def test_score_many_matches_singles(checkpoint):
     for m, s in zip(many, singles):
         assert m["risk_score"] == pytest.approx(s["risk_score"], abs=1e-5)
         assert m["modalities_used"] == s["modalities_used"]
+
+
+def test_no_image_variant_matches_full(tmp_path):
+    """The image-less program (zero image constant-folded on device, no
+    zero-plane transfer) must produce exactly the full program's scores on a
+    real IMAGE model — the zero image still flows through the CT encoder
+    before masking (reference order, SURVEY §7) — and a request WITH a
+    volume must route back to the full program."""
+    from multimodal_survival_prediction_tpu.config import PARTIAL_MODALITY
+
+    spec = SyntheticCohortSpec(n_patients=14, rna_dim=40, seed=6,
+                               p_imaging=1.0, image_shapes=((20, 24, 24),))
+    table, paths = generate_synthetic_cohort(tmp_path, spec)
+    cfg = PARTIAL_MODALITY.with_overrides(n_folds=2, batch_size=4,
+                                          image_shape=(16, 16, 8))
+    run_cross_validation(
+        cfg, table, rnaseq_csv=paths["rnaseq_csv"],
+        results_dir=tmp_path / "r", models_dir=tmp_path / "m",
+        num_epochs=1, backbone="simple_cnn")
+    ckpt = tmp_path / "m" / "partial_modality" / "fold_1_best.msgpack"
+
+    plain = RiskScorer("partial_modality", ckpt, batch_size=2)
+    fast = RiskScorer("partial_modality", ckpt, batch_size=2,
+                      no_image_variant=True)
+    assert fast._no_image_ready and not plain._no_image_ready
+    rng = np.random.default_rng(12)
+    patients = [dict(rnaseq=rng.normal(size=40), age=60.0)
+                for _ in range(3)]
+    a = plain.score_many(patients)
+    b = fast.score_many(patients)
+    for x, y in zip(a, b):
+        assert x["risk_score"] == pytest.approx(y["risk_score"], abs=1e-6)
+
+    # with a volume, both scorers use the full program and still agree
+    vol = rng.normal(100, 50, size=(20, 24, 24)).astype(np.float32)
+    pa = plain.score(volume=vol, age=55.0)
+    pb = fast.score(volume=vol, age=55.0)
+    assert pa["modalities_used"]["image"] is True
+    assert pa["risk_score"] == pytest.approx(pb["risk_score"], abs=1e-6)
+    assert pa["risk_score"] != pytest.approx(a[0]["risk_score"], abs=1e-6)
