@@ -84,7 +84,7 @@ class RiskScorer:
         self._hazard_and_aux = hazard_and_aux or (lambda out, b: (out, 0.0))
         self.model = model
 
-        example = self._empty_batch(batch_size)
+        example = self._empty_batch_host(batch_size)
         shapes = jax.eval_shape(
             lambda: model.init(
                 {"params": jax.random.PRNGKey(0),
@@ -122,40 +122,57 @@ class RiskScorer:
             hazard, _ = self._hazard_and_aux(out, batch)
             return hazard
 
-        def apply_no_image(variables, batch):
+        # Transfer-aware input layout: every non-image array is PACKED into
+        # one (B, rna_dim + 8) host array and split inside the traced
+        # program — ONE host->device transfer per request instead of seven.
+        # On the axon tunnel the per-round-trip fixed cost dominates request
+        # latency (docs/SERVING.md), so transfer COUNT matters as much as
+        # bytes. Column layout must match _empty_packed/_fill_row.
+        R = self.rna_dim
+
+        def unpack(packed, image):
+            return {
+                "rnaseq": packed[:, :R],
+                "clinical": packed[:, R:R + 1],
+                "mask": packed[:, R + 1:R + 4],
+                "time": packed[:, R + 4],
+                "event": packed[:, R + 5],
+                "svalid": packed[:, R + 6],
+                "valid": packed[:, R + 7],
+                "image": image,
+            }
+
+        def apply_full(variables, packed, image):
+            return apply_one(variables, unpack(packed, image))
+
+        def apply_no_image(variables, packed):
             # zero image materialized INSIDE the traced program: image-less
-            # requests skip shipping the (B,D,H,W,1) zero plane to the
-            # device — on the axon tunnel that plane dominates the request
-            # bytes (measured: ~2.1 of 2.2 MB at batch 4, docs/SERVING.md)
-            b = dict(batch)
-            b["image"] = jnp.zeros(
-                (self.batch_size, *self.image_shape, 1), jnp.float32)
-            return apply_one(variables, b)
+            # requests skip shipping the (B,D,H,W,1) zero plane — the bulk
+            # of the request bytes — and its transfer round trip
+            zero = jnp.zeros((self.batch_size, *self.image_shape, 1),
+                             jnp.float32)
+            return apply_one(variables, unpack(packed, zero))
 
         if self.n_folds == 1:
             self._variables = per_fold[0]
-            maybe_vmap = lambda f: f  # noqa: E731
+            self._score = jax.jit(apply_full)
+            self._score_no_image = jax.jit(apply_no_image)
         else:
             # stack fold params on a leading axis; ONE vmapped program scores
             # all folds per dispatch (the fold axis rides the MXU batch dim)
             self._variables = jax.tree_util.tree_map(
                 lambda *xs: np.stack(xs), *per_fold)
-            maybe_vmap = lambda f: jax.vmap(f, in_axes=(0, None))  # noqa: E731
-        self._score = jax.jit(maybe_vmap(apply_one))
-        self._score_no_image = jax.jit(maybe_vmap(apply_no_image))
+            self._score = jax.jit(
+                jax.vmap(apply_full, in_axes=(0, None, None)))
+            self._score_no_image = jax.jit(
+                jax.vmap(apply_no_image, in_axes=(0, None)))
         self._no_image_ready = False
         self.warmup(no_image_variant=no_image_variant)
 
-    def _empty_batch(self, n):
-        return {k: jnp.asarray(v)
-                for k, v in self._empty_batch_host(n).items()}
-
-    def _empty_batch_host(self, n, with_image=True):
-        """Host-side zero batch (np). score_many fills this and ships it in
-        ONE host->device transfer — materializing device arrays just to
-        np.array them back would pay a pointless device round-trip per chunk
-        (readbacks are the expensive fence on the axon tunnel)."""
-        b = {
+    def _empty_batch_host(self, n):
+        """Unpacked host zero batch — init/eval_shape example only; the
+        request path ships the packed layout (_empty_packed)."""
+        return {
             "rnaseq": np.zeros((n, self.rna_dim), np.float32),
             "clinical": np.zeros((n, 1), np.float32),
             "mask": np.zeros((n, 3), np.float32),
@@ -163,10 +180,17 @@ class RiskScorer:
             "event": np.zeros((n,), np.float32),
             "svalid": np.zeros((n,), np.float32),
             "valid": np.ones((n,), np.float32),
+            "image": np.zeros((n, *self.image_shape, 1), np.float32),
         }
-        if with_image:
-            b["image"] = np.zeros((n, *self.image_shape, 1), np.float32)
-        return b
+
+    def _empty_packed(self, n):
+        """Packed host zeros (B, rna_dim + 8); the 'valid' column is 1."""
+        packed = np.zeros((n, self.rna_dim + 8), np.float32)
+        packed[:, self.rna_dim + 7] = 1.0  # valid
+        return packed
+
+    def _empty_image_host(self, n):
+        return np.zeros((n, *self.image_shape, 1), np.float32)
 
     def warmup(self, no_image_variant: bool = False):
         from .utils.profiling import _sync
@@ -174,7 +198,10 @@ class RiskScorer:
         # _sync (value readback), not block_until_ready: the latter returns
         # early on the axon remote backend, so the first request would still
         # pay the compile wait.
-        _sync(self._score(self._variables, self._empty_batch(self.batch_size)))
+        _sync(self._score(
+            self._variables,
+            jnp.asarray(self._empty_packed(self.batch_size)),
+            jnp.asarray(self._empty_image_host(self.batch_size))))
         if no_image_variant:
             self.warmup_no_image()
 
@@ -186,14 +213,16 @@ class RiskScorer:
         stall an unlucky request instead)."""
         from .utils.profiling import _sync
 
-        batch = {k: jnp.asarray(v) for k, v in self._empty_batch_host(
-            self.batch_size, with_image=False).items()}
-        _sync(self._score_no_image(self._variables, batch))
+        _sync(self._score_no_image(
+            self._variables,
+            jnp.asarray(self._empty_packed(self.batch_size))))
         self._no_image_ready = True
 
-    def _fill_row(self, batch, i, rnaseq=None, age=None, volume=None,
+    def _fill_row(self, packed, image, i, rnaseq=None, age=None, volume=None,
                   nifti_path=None):
-        """Fill row `i` of a host batch; returns the modality mask."""
+        """Fill row `i` of the packed array (+ image plane); returns the
+        modality mask. Column layout mirrors the traced `unpack`."""
+        R = self.rna_dim
         mask = np.zeros(3, np.float32)
         if nifti_path is not None and volume is None:
             from .data.native import read_nifti_fast
@@ -204,21 +233,21 @@ class RiskScorer:
                 resample_normalize_bucketed(np.asarray(volume),
                                             self.image_shape,
                                             hu_window=self.hu_window))
-            batch["image"][i, ..., 0] = vol
+            image[i, ..., 0] = vol
             mask[0] = 1.0
         if rnaseq is not None:
             rna = np.asarray(rnaseq, np.float32)
             if rna.shape[-1] != self.rna_dim:
                 raise ValueError(
                     f"expected {self.rna_dim} genes, got {rna.shape[-1]}")
-            batch["rnaseq"][i] = rna
+            packed[i, :R] = rna
             mask[1] = 1.0
         if age is not None:
-            batch["clinical"][i, 0] = float(age) / 100.0
+            packed[i, R] = float(age) / 100.0
             mask[2] = 1.0
         if not mask.any():
             raise ValueError("at least one modality is required")
-        batch["mask"][i] = mask
+        packed[i, R + 1:R + 4] = mask
         return mask
 
     def score(self, rnaseq=None, age=None, volume=None,
@@ -243,14 +272,17 @@ class RiskScorer:
             # image-less chunks route to the warmed no-image program and skip
             # shipping the zero image plane (the bulk of the request bytes)
             use_noimg = not wants_image and self._no_image_ready
-            batch = self._empty_batch_host(self.batch_size,
-                                           with_image=not use_noimg)
-            masks = [self._fill_row(batch, i, **p)
+            packed = self._empty_packed(self.batch_size)
+            image = (None if use_noimg
+                     else self._empty_image_host(self.batch_size))
+            masks = [self._fill_row(packed, image, i, **p)
                      for i, p in enumerate(chunk)]
-            score = self._score_no_image if use_noimg else self._score
-            hazard = score(
-                self._variables,
-                {k: jnp.asarray(v) for k, v in batch.items()})
+            if use_noimg:
+                hazard = self._score_no_image(self._variables,
+                                              jnp.asarray(packed))
+            else:
+                hazard = self._score(self._variables, jnp.asarray(packed),
+                                     jnp.asarray(image))
             h = np.asarray(hazard)
             # (F, B) per-fold hazards; calibration (when supplied) applies to
             # a single checkpoint too — a caller who passed (mu, sd) must get

@@ -223,3 +223,30 @@ def test_no_image_variant_matches_full(tmp_path):
     assert pa["modalities_used"]["image"] is True
     assert pa["risk_score"] == pytest.approx(pb["risk_score"], abs=1e-6)
     assert pa["risk_score"] != pytest.approx(a[0]["risk_score"], abs=1e-6)
+
+
+def test_scorer_matches_predict_risk_oracle(models_dir, tmp_path):
+    """Cross-path oracle: RiskScorer's packed-input program must reproduce
+    predict_risk's score for the same patient — guards the packed column
+    layout against systematic (self-consistent) unpack bugs."""
+    import pandas as pd
+
+    from multimodal_survival_prediction_tpu.data.datasets import (
+        load_rnaseq_matrix,
+    )
+    from multimodal_survival_prediction_tpu.train.predict import predict_risk
+
+    # rebuild the cohort the fixture trained on
+    root = models_dir.parent
+    table = pd.read_csv(
+        root / "data" / "processed" / "full_matching_table.csv")
+    rnaseq_csv = root / "data" / "processed" / "rnaseq_normalized_mapped.csv"
+    ckpt = models_dir / "rnaseq_only" / "fold_1_best.msgpack"
+    pred = predict_risk(RNASEQ_ONLY, ckpt, table, rnaseq_csv=rnaseq_csv)
+
+    rna = load_rnaseq_matrix(rnaseq_csv)
+    scorer = RiskScorer("rnaseq_only", ckpt)
+    pid = pred.patient_id.iloc[0]
+    out = scorer.score(rnaseq=rna.loc[pid].to_numpy())
+    assert out["risk_score"] == pytest.approx(
+        float(pred.risk_score.iloc[0]), abs=1e-5)
