@@ -1,0 +1,45 @@
+"""End-to-end test of scripts/run_all.py — the one-command reproduction of
+the reference's training+analysis phases (train selected families, write
+both cv_results schemas, then the full analysis battery incl. the
+checkpoint-metadata-driven ensemble KM curves and evaluation)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_run_all_full_analysis(tmp_path):
+    r = subprocess.run(
+        [sys.executable, str(REPO_ROOT / "scripts" / "run_all.py"),
+         "--models", "rnaseq_only,image_only",
+         "--synthetic", "--synthetic-patients", "28",
+         "--data-root", str(tmp_path / "cohort"),
+         "--results-dir", str(tmp_path / "results"),
+         "--models-dir", str(tmp_path / "models"),
+         "--epochs", "2", "--n-folds", "2",
+         "--image-shape", "12,12,8", "--backbone", "simple_cnn",
+         "--full-analysis"],
+        capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "FAILED" not in r.stdout, r.stdout[-3000:]
+
+    res = tmp_path / "results"
+    for model in ("rnaseq_only", "image_only"):
+        payload = json.loads(
+            (res / model / "cv_results.json").read_text())
+        assert len(payload["fold_results"]) == 2
+    # analysis battery artifacts
+    assert (res / "final_comparison" / "SUMMARY.md").exists()
+    assert (res / "final_comparison" / "results.json").exists()
+    assert (res / "model_comparison_analysis.png").exists()
+    assert (res / "analysis_report.txt").exists()
+    assert (res / "report_figures" / "cohort_km.png").exists()
+    # KM/evaluation ran against a TRAINED model (partial_modality was not
+    # selected, so run_all must have picked one of the trained two)
+    assert (res / "test_predictions.csv").exists()
+    assert (res / "evaluation" / "evaluation_summary.json").exists()
+    km = list((res / "km_curves").glob("*_ensemble_km.png"))
+    assert len(km) == 1
