@@ -167,6 +167,10 @@ class RiskScorer:
             self._score_no_image = jax.jit(
                 jax.vmap(apply_no_image, in_axes=(0, None)))
         self._no_image_ready = False
+        # image-free model families (e.g. rnaseq_only) never need the image
+        # plane: compile ONLY the packed-only program — same compile count,
+        # and no request ever ships the zero CT plane
+        self._has_image_modality = "image" in self.cfg.modalities
         self.warmup(no_image_variant=no_image_variant)
 
     def _empty_batch_host(self, n):
@@ -195,6 +199,9 @@ class RiskScorer:
     def warmup(self, no_image_variant: bool = False):
         from .utils.profiling import _sync
 
+        if not self._has_image_modality:
+            self.warmup_no_image()
+            return
         # _sync (value readback), not block_until_ready: the latter returns
         # early on the axon remote backend, so the first request would still
         # pay the compile wait.
@@ -269,6 +276,9 @@ class RiskScorer:
             wants_image = any(p.get("volume") is not None
                               or p.get("nifti_path") is not None
                               for p in chunk)
+            if wants_image and not self._has_image_modality:
+                raise ValueError(
+                    f"model '{self.cfg.name}' has no image modality")
             # image-less chunks route to the warmed no-image program and skip
             # shipping the zero image plane (the bulk of the request bytes)
             use_noimg = not wants_image and self._no_image_ready

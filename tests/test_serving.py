@@ -250,3 +250,12 @@ def test_scorer_matches_predict_risk_oracle(models_dir, tmp_path):
     out = scorer.score(rnaseq=rna.loc[pid].to_numpy())
     assert out["risk_score"] == pytest.approx(
         float(pred.risk_score.iloc[0]), abs=1e-5)
+
+
+def test_image_free_model_never_ships_plane(checkpoint):
+    """Image-free families compile ONLY the packed-only program (no extra
+    compile, no zero-plane transfer ever) and reject volume requests."""
+    scorer = RiskScorer("rnaseq_only", checkpoint)
+    assert scorer._no_image_ready
+    with pytest.raises(ValueError, match="no image modality"):
+        scorer.score(volume=np.zeros((8, 8, 8), np.float32))
