@@ -44,8 +44,10 @@ class RiskScorer:
       no_image_variant: also compile an image-less scoring program at
         warmup (zero image constant-folded on device): image-less requests
         then skip shipping the zero image plane, which dominates request
-        bytes over a slow link (docs/SERVING.md latency table). Opt-in
-        because it is a second multi-minute compile on the remote tunnel.
+        bytes over a slow link (docs/SERVING.md latency table). Opt-in for
+        image models because it is a second multi-minute compile on the
+        remote tunnel; image-FREE families (e.g. rnaseq_only) always use
+        the image-less program — it is their only one.
     """
 
     def __init__(self, model_name: str, checkpoint_path,
