@@ -38,6 +38,7 @@ def predict_risk(
     batch_size: int = 64,
     use_pallas: bool | None = None,
     hu_window=None,
+    return_fold_stats: bool = False,
 ) -> pd.DataFrame:
     """Score a cohort with a trained fold checkpoint — or a FOLD ENSEMBLE
     when ``checkpoint_path`` is a sequence of paths (per-fold z-scored
@@ -150,6 +151,13 @@ def predict_risk(
     })
     if labeled_only:
         pred = pred[data["svalid"] > 0].reset_index(drop=True)
+    if return_fold_stats:
+        # per-fold (mu, sd) over the WHOLE cohort — the calibration pairs
+        # serving.RiskScorer(fold_calibration=...) consumes so its per-fold
+        # z-score matches this function's ensemble combination
+        stats = [(float(per_ckpt[ci].mean()), float(per_ckpt[ci].std()))
+                 for ci in range(len(paths))]
+        return pred, stats
     return pred
 
 

@@ -39,6 +39,10 @@ def main():
                    help="compiled scoring batch: /score_batch micro-batches "
                         "requests into chunks of this size (one dispatch "
                         "per chunk); single /score requests are padded")
+    p.add_argument("--calibration", default=None,
+                   help="calibration.json from scripts/serving/calibrate.py "
+                        "— per-fold (mu, sd) applied before ensemble "
+                        "averaging (rank-stable, matches predict_risk)")
     p.add_argument("--warm-no-image", action="store_true",
                    help="also compile an image-less scoring program at "
                         "startup: image-less requests then skip shipping "
@@ -57,12 +61,20 @@ def main():
     from multimodal_survival_prediction_tpu.serving import RiskScorer
     from multimodal_survival_prediction_tpu.utils import parse_hu_window
 
+    fold_calibration = None
+    if args.calibration:
+        import json
+
+        cal = json.loads(Path(args.calibration).read_text())
+        fold_calibration = [tuple(s) for s in cal["stats"]]
+
     scorer = RiskScorer(
         args.model,
         args.checkpoint[0] if len(args.checkpoint) == 1 else args.checkpoint,
         backbone=args.backbone,
         rna_dim=args.rna_dim,
         batch_size=args.batch_size,
+        fold_calibration=fold_calibration,
         no_image_variant=args.warm_no_image,
         image_shape=(tuple(int(x) for x in args.image_shape.split(","))
                      if args.image_shape else None),

@@ -1,6 +1,7 @@
 """Train -> checkpoint -> predict_risk -> evaluate round trip."""
 
 import numpy as np
+import pytest
 
 from multimodal_survival_prediction_tpu.analysis import evaluate_predictions
 from multimodal_survival_prediction_tpu.config import RNASEQ_ONLY
@@ -91,3 +92,32 @@ def test_predict_hu_window(tmp_path):
     meta = json.loads(meta_path.read_text())
     assert meta["hu_window"] == [0.0, 150.0]
     assert meta["image_shape"] == [16, 16, 8]
+
+
+def test_fold_calibration_stats(tmp_path):
+    """return_fold_stats gives per-fold (mu, sd) of the raw log-hazards over
+    the cohort — the serving calibration contract: z-scoring each single-fold
+    prediction with them and averaging reproduces the ensemble scores."""
+    spec = SyntheticCohortSpec(n_patients=30, rna_dim=60, seed=8,
+                               p_rnaseq=0.95)
+    table, paths = generate_synthetic_cohort(tmp_path, spec)
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2)
+    run_cross_validation(cfg, table, rnaseq_csv=paths["rnaseq_csv"],
+                         results_dir=tmp_path / "r",
+                         models_dir=tmp_path / "m", num_epochs=2)
+    ckpts = fold_checkpoints(tmp_path / "m", "rnaseq_only")
+    ens, stats = predict_risk(cfg, ckpts, table,
+                              rnaseq_csv=paths["rnaseq_csv"],
+                              return_fold_stats=True)
+    assert len(stats) == 2
+    singles = [predict_risk(cfg, c, table, rnaseq_csv=paths["rnaseq_csv"])
+               for c in ckpts]
+    for (mu, sd), s in zip(stats, singles):
+        assert mu == pytest.approx(float(s.risk_score.mean()), abs=1e-5)
+        # population std (ddof=0) — matches the ensemble z-score in
+        # predict_risk (numpy default), not pandas' sample std
+        assert sd == pytest.approx(float(s.risk_score.std(ddof=0)),
+                                   abs=1e-5)
+    rebuilt = np.mean([(s.risk_score.values - mu) / (sd + 1e-8)
+                       for (mu, sd), s in zip(stats, singles)], axis=0)
+    np.testing.assert_allclose(rebuilt, ens.risk_score.values, atol=1e-5)
