@@ -255,16 +255,30 @@ void msp_nifti_close(void* handle) {
   delete static_cast<NiftiData*>(handle);
 }
 
-// Fused minmax-normalize + trilinear resample (host fallback of the device
-// kernel). in: (d,h,w) C-order float32 -> out: (od,oh,ow).
-int msp_resample_normalize(const float* in, int64_t d, int64_t h, int64_t w,
-                           float* out, int64_t od, int64_t oh, int64_t ow) {
+}  // extern "C" (templates below can't carry C linkage)
+
+// Fused minmax-normalize + trilinear resample (host twin of the device
+// kernel, ops/resample.py). Reads the volume in its NATIVE dtype (int16 CTs
+// never materialize a float32 copy), optional CT Hounsfield window clamp
+// fused into the same pass — matches _resample_normalize_xla's
+// clip -> min/max -> interpolate -> affine order.
+namespace {
+
+template <typename T>
+int resample_normalize_impl(const T* in, int64_t d, int64_t h, int64_t w,
+                            float* out, int64_t od, int64_t oh, int64_t ow,
+                            bool use_hu, float hu_lo, float hu_hi) {
   if (d < 1 || h < 1 || w < 1 || od < 1 || oh < 1 || ow < 1) return -1;
-  // pass 1: min/max
+  auto val = [&](const T* p, int64_t i) -> float {
+    float v = static_cast<float>(p[i]);
+    if (use_hu) v = v < hu_lo ? hu_lo : (v > hu_hi ? hu_hi : v);
+    return v;
+  };
+  // pass 1: min/max (over the clamped values when windowing)
   const int64_t n = d * h * w;
-  float mn = in[0], mx = in[0];
+  float mn = val(in, 0), mx = mn;
   for (int64_t i = 1; i < n; ++i) {
-    float v = in[i];
+    float v = val(in, i);
     if (v < mn) mn = v;
     if (v > mx) mx = v;
   }
@@ -286,18 +300,18 @@ int msp_resample_normalize(const float* in, int64_t d, int64_t h, int64_t w,
       const float fy = yf[oy];
       const int64_t y1 = (h > 1) ? y0 + 1 : y0;
       float* dst = out + (oz * oh + oy) * ow;
-      const float* p00 = in + z0 * hw + y0 * w;
-      const float* p01 = in + z0 * hw + y1 * w;
-      const float* p10 = in + z1 * hw + y0 * w;
-      const float* p11 = in + z1 * hw + y1 * w;
+      const T* p00 = in + z0 * hw + y0 * w;
+      const T* p01 = in + z0 * hw + y1 * w;
+      const T* p10 = in + z1 * hw + y0 * w;
+      const T* p11 = in + z1 * hw + y1 * w;
       for (int64_t ox = 0; ox < ow; ++ox) {
         const int x0 = xlo[ox];
         const float fx = xf[ox];
         const int64_t x1 = (w > 1) ? x0 + 1 : x0;
-        const float c00 = p00[x0] * (1 - fx) + p00[x1] * fx;
-        const float c01 = p01[x0] * (1 - fx) + p01[x1] * fx;
-        const float c10 = p10[x0] * (1 - fx) + p10[x1] * fx;
-        const float c11 = p11[x0] * (1 - fx) + p11[x1] * fx;
+        const float c00 = val(p00, x0) * (1 - fx) + val(p00, x1) * fx;
+        const float c01 = val(p01, x0) * (1 - fx) + val(p01, x1) * fx;
+        const float c10 = val(p10, x0) * (1 - fx) + val(p10, x1) * fx;
+        const float c11 = val(p11, x0) * (1 - fx) + val(p11, x1) * fx;
         const float c0 = c00 * (1 - fy) + c01 * fy;
         const float c1 = c10 * (1 - fy) + c11 * fy;
         dst[ox] = ((c0 * (1 - fz) + c1 * fz) - mn) * scale;
@@ -305,6 +319,39 @@ int msp_resample_normalize(const float* in, int64_t d, int64_t h, int64_t w,
     }
   }
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Original float32 entry point (kept for ABI stability).
+int msp_resample_normalize(const float* in, int64_t d, int64_t h, int64_t w,
+                           float* out, int64_t od, int64_t oh, int64_t ow) {
+  return resample_normalize_impl<float>(in, d, h, w, out, od, oh, ow,
+                                        false, 0.f, 0.f);
+}
+
+// Native-dtype entry point: dtype_code uses the NIfTI datatype codes
+// (4=int16 CT — the hot case: no float32 materialization of the 80 MB
+// volume; 16=float32; others as supported). use_hu!=0 clamps values into
+// [hu_lo, hu_hi] before the min/max + interpolation, matching the device
+// path's hu_window.
+int msp_resample_normalize_any(const void* in, int32_t dtype_code,
+                               int64_t d, int64_t h, int64_t w,
+                               float* out, int64_t od, int64_t oh, int64_t ow,
+                               int32_t use_hu, float hu_lo, float hu_hi) {
+  const bool hu = use_hu != 0;
+  switch (dtype_code) {
+    case 2:   return resample_normalize_impl<uint8_t >(static_cast<const uint8_t* >(in), d, h, w, out, od, oh, ow, hu, hu_lo, hu_hi);
+    case 4:   return resample_normalize_impl<int16_t >(static_cast<const int16_t* >(in), d, h, w, out, od, oh, ow, hu, hu_lo, hu_hi);
+    case 8:   return resample_normalize_impl<int32_t >(static_cast<const int32_t* >(in), d, h, w, out, od, oh, ow, hu, hu_lo, hu_hi);
+    case 16:  return resample_normalize_impl<float   >(static_cast<const float*   >(in), d, h, w, out, od, oh, ow, hu, hu_lo, hu_hi);
+    case 64:  return resample_normalize_impl<double  >(static_cast<const double*  >(in), d, h, w, out, od, oh, ow, hu, hu_lo, hu_hi);
+    case 256: return resample_normalize_impl<int8_t  >(static_cast<const int8_t*  >(in), d, h, w, out, od, oh, ow, hu, hu_lo, hu_hi);
+    case 512: return resample_normalize_impl<uint16_t>(static_cast<const uint16_t*>(in), d, h, w, out, od, oh, ow, hu, hu_lo, hu_hi);
+    default:  return -2;
+  }
 }
 
 }  // extern "C"

@@ -65,6 +65,13 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    lib.msp_resample_normalize_any.restype = ctypes.c_int
+    lib.msp_resample_normalize_any.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_float, ctypes.c_float]
     _lib = lib
     return _lib
 
@@ -128,21 +135,44 @@ def read_nifti_fast(path):
                       origin=tuple(origin[:]), affine=affine)
 
 
-def resample_normalize_host(vol: np.ndarray, out_shape) -> np.ndarray:
-    """C++ fused minmax+trilinear resample (host). Falls back to the XLA op
-    on CPU backend if the library is unavailable."""
+# numpy dtype -> NIfTI datatype code (inverse of _NIFTI_DTYPES, for the
+# native-dtype resample entry point)
+_DTYPE_CODES = {np.dtype(v): k for k, v in _NIFTI_DTYPES.items()}
+_DTYPE_CODES[np.dtype(np.float64)] = 64
+
+
+def resample_normalize_host(vol: np.ndarray, out_shape,
+                            hu_window=None) -> np.ndarray:
+    """C++ fused minmax+trilinear resample (host), GIL-free.
+
+    Reads the volume in its NATIVE dtype (int16 CTs resample without ever
+    materializing a float32 copy of the 80 MB volume) and supports the same
+    optional CT Hounsfield window as the device path (ops/resample.py) —
+    bit-equal outputs are pinned in tests/test_native_pipeline.py. This is
+    the transfer-aware ingest path: on a slow host->device link, resampling
+    here and shipping the ~512 KB result beats shipping the full volume
+    (data/pipeline.py chooses by measured link bandwidth). Falls back to the
+    XLA op if the library is unavailable."""
     lib = _load()
-    vol = np.ascontiguousarray(vol, np.float32)
+    vol = np.ascontiguousarray(vol)
+    if vol.dtype not in _DTYPE_CODES:
+        vol = vol.astype(np.float32)
     if lib is None:
         from ..ops.resample import resample_normalize
 
-        return np.asarray(resample_normalize(vol, tuple(out_shape)))
+        return np.asarray(resample_normalize(
+            vol, tuple(out_shape), hu_window=hu_window))
     out = np.empty(tuple(out_shape), np.float32)
-    rc = lib.msp_resample_normalize(
-        vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    lo, hi = (float(hu_window[0]), float(hu_window[1])) if hu_window else (
+        0.0, 0.0)
+    rc = lib.msp_resample_normalize_any(
+        vol.ctypes.data_as(ctypes.c_void_p),
+        _DTYPE_CODES[vol.dtype],
         *vol.shape,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        *out.shape)
+        *out.shape,
+        1 if hu_window else 0, lo, hi)
     if rc != 0:
-        raise ValueError(f"resample failed for shape {vol.shape}")
+        raise ValueError(f"resample failed for shape {vol.shape} "
+                         f"dtype {vol.dtype}")
     return out

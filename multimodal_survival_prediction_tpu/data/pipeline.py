@@ -23,36 +23,81 @@ Design here:
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import numpy as np
 
+log = logging.getLogger(__name__)
+
+_BW_CACHE: dict = {}
+
+
+def probe_link_bandwidth(nbytes: int = 8 << 20) -> float:
+    """Measured host->device link bandwidth (bytes/sec), cached per backend.
+
+    Uses an UNCOMPILED ``device_put`` + ``device_get`` round trip — no jit
+    program, so no multi-minute remote compile on the axon tunnel. The round
+    trip is two transfers; device_get is a true barrier (unlike
+    block_until_ready on the axon backend, CLAUDE.md)."""
+    backend = jax.default_backend()
+    if backend in _BW_CACHE:
+        return _BW_CACHE[backend]
+    buf = np.ones(nbytes, np.uint8)
+    jax.device_get(jax.device_put(buf))  # warm lazy backend init
+    t0 = time.perf_counter()
+    jax.device_get(jax.device_put(buf))
+    dt = time.perf_counter() - t0
+    bw = 2 * nbytes / max(dt, 1e-9)
+    _BW_CACHE[backend] = bw
+    log.info("link bandwidth probe: %.1f MB/s", bw / 1e6)
+    return bw
+
 
 class VolumePrefetcher:
-    """Decode NIfTIs on a host thread pool, resample on device, overlapped.
+    """Decode NIfTIs on a host thread pool, resample host- or device-side.
 
     run(jobs, out_shape) yields (job_id, resampled_volume_np) — order not
     guaranteed. Failures yield (job_id, None) after logging (the reference's
-    failure->missing-modality semantics, SURVEY §2.3)."""
+    failure->missing-modality semantics, SURVEY §2.3).
 
-    def __init__(self, num_workers: int = 4, depth: int = 2):
+    ``resample`` picks where the fused minmax+trilinear runs:
+      * 'device' — ship the raw volume, resample on the accelerator
+        (ops/resample.py). Optimal on fast links (PCIe/ICI-attached).
+      * 'host'   — resample in the GIL-free C++ kernel
+        (data/native.resample_normalize_host) and ship only the ~512 KB
+        result. Optimal when the link is the bottleneck (an 80 MB int16 CT
+        over a ~20-140 MB/s tunnel costs seconds; the host resample costs
+        tens of milliseconds).
+      * 'auto' (default) — measure both once (link-bandwidth probe + one
+        host resample of the first decoded volume) and pick per cohort.
+    Both paths are golden-equal (tests/test_native_pipeline.py)."""
+
+    def __init__(self, num_workers: int = 4, depth: int = 2,
+                 resample: str = "auto"):
         self.num_workers = num_workers
         self.depth = max(1, depth)
+        self.resample = resample
+        self.last_mode: str | None = None  # introspection (bench/logs)
 
     def run(self, jobs, out_shape, use_pallas: bool = False,
-            hu_window=None):
-        import logging
-
+            hu_window=None, resample: str | None = None):
         from ..ops.resample import (
             resample_normalize_bucketed,
             resample_normalize_pallas,
         )
-        from .native import read_nifti_fast
+        from .native import (
+            native_available,
+            read_nifti_fast,
+            resample_normalize_host,
+        )
 
-        log = logging.getLogger(__name__)
+        mode = resample or self.resample
+        out_shape = tuple(out_shape)
 
         def preprocess_volume(vol, shape, use_pallas):
             # bucketed = one XLA compile per shape bucket; pallas path is the
@@ -74,7 +119,64 @@ class VolumePrefetcher:
                 log.warning("decode failed for %s: %s", path, e)
                 return i, None
 
+        def decode_and_host_resample(job):
+            i, vol = decode(job)
+            if vol is None:
+                return i, None
+            try:
+                return i, resample_normalize_host(vol, out_shape,
+                                                  hu_window=hu_window)
+            except Exception as e:
+                log.warning("host resample failed for job %s: %s", i, e)
+                return i, None
+
+        jobs = list(jobs)
+        first_result = None  # (job_id, resampled) decided during the probe
+        if mode == "auto":
+            if not native_available():
+                mode = "device"  # no C++ kernel -> host path has no engine
+            else:
+                # decode the first volume inline, time ONE host resample on
+                # it (pure C++, no compile), and compare against the time
+                # the raw volume would take to cross the measured link
+                head, rest = None, []
+                for j, job in enumerate(jobs):
+                    i, vol = decode(job)
+                    if vol is not None:
+                        head, rest = (i, vol), jobs[j + 1:]
+                        break
+                    yield i, None  # failed decodes before the probe volume
+                if head is None:
+                    self.last_mode = "device"
+                    return
+                jobs = rest
+                i, vol = head
+                t0 = time.perf_counter()
+                host_out = resample_normalize_host(vol, out_shape,
+                                                   hu_window=hu_window)
+                host_sec = time.perf_counter() - t0
+                transfer_sec = vol.nbytes / probe_link_bandwidth()
+                mode = "host" if host_sec < transfer_sec else "device"
+                log.info(
+                    "resample auto-select: %s (host %.0f ms/vol vs link "
+                    "transfer %.0f ms/vol at %.1f MB/s)", mode,
+                    host_sec * 1e3, transfer_sec * 1e3,
+                    probe_link_bandwidth() / 1e6)
+                # the probe volume is already resampled either way (host and
+                # device outputs are golden-equal)
+                first_result = (i, host_out)
+        self.last_mode = mode
+
+        if first_result is not None:
+            yield first_result
+
         with ThreadPoolExecutor(self.num_workers) as pool:
+            if mode == "host":
+                # resample inside the GIL-free decode workers; nothing
+                # crosses to the device here at all
+                for i, out in pool.map(decode_and_host_resample, jobs):
+                    yield i, out
+                return
             decoded = pool.map(decode, jobs)
             # device-side resample pipeline, depth-limited so at most `depth`
             # volumes are in flight (decode of N+1 overlaps resample of N)

@@ -89,13 +89,18 @@ class ImageEncoder(nn.Module):
     backbone: str = "densenet121"  # or "simple_cnn"
     remat: bool = False
     dtype: jnp.dtype | None = None
+    # None = DenseNet121's (6, 12, 24, 16); shorter configs for small data /
+    # tests (fewer halvings -> smaller minimum input)
+    block_config: tuple | None = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         if self.backbone == "densenet121":
+            kwargs = ({"block_config": self.block_config}
+                      if self.block_config is not None else {})
             return DenseNet121_3D(
                 out_features=self.out_features, remat=self.remat,
-                dtype=self.dtype, name="densenet",
+                dtype=self.dtype, name="densenet", **kwargs,
             )(x, train=train)
         return SimpleCNN3D(
             out_features=self.out_features, dtype=self.dtype, name="cnn",

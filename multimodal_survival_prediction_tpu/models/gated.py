@@ -20,13 +20,18 @@ class PartialModalityNet(nn.Module):
     backbone: str = "densenet121"
     remat: bool = False
     dtype: jnp.dtype | None = None
+    # None = full DenseNet121 blocks; shorter configs shrink the CT encoder
+    # for small inputs (tests, tiny cohorts)
+    block_config: tuple | None = None
 
     @nn.compact
     def __call__(self, ct, rna, clinical, mask, *, train: bool = False):
         # Encoders run on the (possibly zero) inputs FIRST; masking is applied
         # to features afterwards — this ordering matters for BatchNorm
         # statistics and is reproduced deliberately (SURVEY §7 hard parts).
-        ct_feat = ImageEncoder(128, backbone=self.backbone, remat=self.remat, dtype=self.dtype,
+        ct_feat = ImageEncoder(128, backbone=self.backbone, remat=self.remat,
+                               dtype=self.dtype,
+                               block_config=self.block_config,
                                name="ct_encoder")(ct, train=train)
         rna_feat = RNAEncoderCompact(128, dtype=self.dtype,
                                      name="rna_encoder")(rna, train=train)

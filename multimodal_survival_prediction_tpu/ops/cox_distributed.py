@@ -45,21 +45,34 @@ def _local_logcumsumexp_with_offset(h_local, axis_name):
 
 def cox_partial_likelihood_sharded(
     hazard, time, event, mesh: Mesh, axis_name: str = "data",
-    valid=None, eps: float = 1e-8,
+    valid=None, eps: float = 1e-8, presorted: bool = True,
 ):
     """Cox NLL with the batch axis sharded over `axis_name`.
 
-    Inputs must be GLOBALLY sorted by time descending BEFORE sharding (the
-    caller owns the distributed sort; for cohort-scale data this is a host
-    argsort, for truly huge data a device sample-sort). Semantics match
+    With ``presorted=True`` (default) inputs must be GLOBALLY sorted by time
+    descending BEFORE sharding (the caller owns the distributed sort; for
+    cohort-scale data this is a host argsort, for truly huge data a device
+    sample-sort). ``presorted=False`` sorts on device first — the mode the
+    training engine uses (`Trainer(sharded_risk_set=True)`): batches arrive
+    in shuffle order, the argsort+gather is O(B) device work and XLA owns the
+    resulting resharding. Semantics match
     ops.cox.cox_partial_likelihood(ties='breslow') including the
-    degenerate-batch guards.
+    degenerate-batch guards; the distributed scan is **Breslow-only** — the
+    Efron correction needs tie-group structure across shard boundaries
+    (use the single-axis ops.cox path for ``ties='efron'``).
     """
     hazard = jnp.asarray(hazard, jnp.float32)
     time = jnp.asarray(time, jnp.float32)
     event = jnp.asarray(event, jnp.float32)
     valid = (jnp.ones_like(event) if valid is None
              else jnp.asarray(valid, jnp.float32))
+    if not presorted:
+        # same ordering convention as ops.cox._sort_desc_by_time: descending
+        # time, invalid rows pushed last via time -> -inf
+        time = jnp.where(valid > 0, time, -jnp.inf)
+        order = jnp.argsort(-time, stable=True)
+        hazard, time, event, valid = (
+            hazard[order], time[order], event[order], valid[order])
 
     @partial(
         jax.shard_map,

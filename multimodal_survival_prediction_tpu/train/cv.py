@@ -126,13 +126,22 @@ def run_cross_validation(
     resume: bool = False,
     checkpoint_every: int = 10,
     prepared=None,
+    streaming: bool = False,
+    sharded_risk_set: bool = False,
 ):
     """Full CV run for one model config. Returns (payload, fold_outcomes).
 
     `prepared`: optional (arrays, splits) from a prior prepare_cv_data call
     with the same cfg — skips re-decoding/resampling the cohort when the
     caller already built it (e.g. the twin-run parity harness feeds the
-    identical array set to both the torch oracle and this driver)."""
+    identical array set to both the torch oracle and this driver).
+
+    `streaming`: keep the cohort on HOST and double-buffer batches onto the
+    device (Trainer.train_epoch_streaming / evaluate_streaming) — for cohorts
+    whose arrays exceed HBM. Same trajectory as the default device-resident
+    scan path (identical batch order + per-step dropout-key chain,
+    tests/test_train_e2e.py::test_streaming_epoch_matches_scan_epoch); the
+    scan path is faster whenever the data fits."""
     name = cfg.name
     num_epochs = num_epochs or cfg.num_epochs
 
@@ -153,7 +162,12 @@ def run_cross_validation(
         ties=cfg.ties,
     )
 
-    data = arrays.to_device(mesh=mesh)
+    if streaming:
+        # cohort stays host-resident (numpy); batches stream through
+        # BatchPrefetcher inside the Trainer streaming methods
+        data = {k: np.asarray(v) for k, v in arrays.arrays.items()}
+    else:
+        data = arrays.to_device(mesh=mesh)
 
     outcomes: list[FoldOutcome] = []
     t_start = _time.monotonic()
@@ -166,16 +180,28 @@ def run_cross_validation(
     # once and reused across folds (the reference re-creates everything per
     # fold; recompiling 5x would waste minutes of TPU time for nothing).
     trainer = Trainer(model, batch_to_inputs, hazard_and_aux, tcfg, mesh=mesh,
-                      tensor_parallel=tensor_parallel)
+                      tensor_parallel=tensor_parallel,
+                      sharded_risk_set=sharded_risk_set)
     stage1_trainer = None
     if cfg.stage1_epochs:
         from .adapters import simmlm_stage1_adapter
 
         stage1_trainer = Trainer(model, batch_to_inputs,
                                  simmlm_stage1_adapter(), tcfg, mesh=mesh,
-                                 tensor_parallel=tensor_parallel)
+                                 tensor_parallel=tensor_parallel,
+                                 sharded_risk_set=sharded_risk_set)
     example = {k: v[:cfg.batch_size] for k, v in data.items()}
     example["valid"] = example["svalid"]
+
+    def train_one_epoch(tr, st, rows, srng, lr_, key):
+        if streaming:
+            return tr.train_epoch_streaming(st, data, rows, srng, lr_, key)
+        return tr.train_epoch(st, data, rows, srng, lr_, key)
+
+    def eval_rows(st, rows):
+        if streaming:
+            return trainer.evaluate_streaming(st, data, rows)
+        return trainer.evaluate(st, data, rows)
 
     for fold, (train_rows, val_rows, train_survival_size) in enumerate(
             splits, start=1):
@@ -260,9 +286,9 @@ def run_cross_validation(
             stage1_trainer._extra_collections = trainer._extra_collections
             for epoch in range(1, cfg.stage1_epochs + 1):
                 dropout_key, ek = jax.random.split(dropout_key)
-                state, s1_loss = stage1_trainer.train_epoch(
-                    state, data, train_rows, shuffle_rng, cfg.learning_rate,
-                    ek)
+                state, s1_loss = train_one_epoch(
+                    stage1_trainer, state, train_rows, shuffle_rng,
+                    cfg.learning_rate, ek)
                 if epoch % 10 == 0 or epoch == 1:
                     log.info("[%s fold %d] stage1 epoch %d loss %.4f",
                              name, fold, epoch, s1_loss)
@@ -288,9 +314,9 @@ def run_cross_validation(
             if cfg.scheduler == "cosine":
                 lr = cosine_annealing(cfg.learning_rate, epoch - 1, num_epochs)
             dropout_key, ek = jax.random.split(dropout_key)
-            state, tr_loss = trainer.train_epoch(
-                state, data, train_rows, shuffle_rng, lr, ek)
-            val_c, val_loss, _ = trainer.evaluate(state, data, val_rows)
+            state, tr_loss = train_one_epoch(
+                trainer, state, train_rows, shuffle_rng, lr, ek)
+            val_c, val_loss, _ = eval_rows(state, val_rows)
             if cfg.scheduler == "plateau":
                 lr = plateau.step(val_c)
             history.append(dict(epoch=epoch, train_loss=tr_loss,

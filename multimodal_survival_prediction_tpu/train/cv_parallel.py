@@ -91,6 +91,27 @@ def _stack_states(states):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 
+def assert_extras_invariant(ref, got, label):
+    """Guard for the parallel drivers' vmap shortcut: the vmapped loss/eval
+    closures capture ``trainer._extra_collections`` from the LAST
+    ``init_state`` call un-stacked, which is only sound when every fold /
+    candidate init produces IDENTICAL extra collections (true today — the
+    mmsurv 'constants' sketch is fixed-seed and fold-invariant,
+    models/mmsurv.py). If a future model's extra collections become
+    init-RNG-dependent this fails loudly instead of silently training every
+    fold against the last fold's constants."""
+    r = jax.tree_util.tree_leaves(ref)
+    g = jax.tree_util.tree_leaves(got)
+    same = len(r) == len(g) and all(
+        np.array_equal(np.asarray(a), np.asarray(b)) for a, b in zip(r, g))
+    if not same:
+        raise ValueError(
+            f"extra collections differ across stacked inits ({label}): the "
+            "fold-parallel/sweep drivers assume init-invariant extra "
+            "collections — stack them alongside params before vmapping "
+            "this model")
+
+
 def _build_parallel_train_epoch(trainer: Trainer):
     """vmap-over-folds version of Trainer._build_train_epoch with whole-step
     masking: a step whose bvalid row is all-zero (cross-fold step-count
@@ -231,8 +252,14 @@ def run_cross_validation_parallel(
     t_start = _time.monotonic()
 
     # ---- stacked per-fold state (same per-fold init RNG as sequential) ----
-    states = [trainer.init_state(example, fold=f)
-              for f in range(1, k_pad + 1)]
+    states, extras_ref = [], None
+    for f in range(1, k_pad + 1):
+        states.append(trainer.init_state(example, fold=f))
+        extras = jax.device_get(trainer._extra_collections)
+        if extras_ref is None:
+            extras_ref = extras
+        else:
+            assert_extras_invariant(extras_ref, extras, f"fold {f}")
     state = _stack_states(states)
     del states
     data_n = dict(mesh.shape).get(data_axis, 1) if mesh is not None else 1
@@ -290,7 +317,9 @@ def run_cross_validation_parallel(
         st, losses = fn(st, data, put_idx(idx), put_idx(bv),
                         put(np.asarray(keys)),
                         put(np.asarray(lr_vec, np.float32)))
-        total_steps += int(bv.max(axis=2).sum())
+        # count REAL folds only: padded dummy folds (k_pad > n_folds) compute
+        # but must not inflate the logged steps/s
+        total_steps += int(bv[:n_folds].max(axis=2).sum())
         return st, losses
 
     # ---- stage 1 (SimMLM expert pretraining): fixed LR, no selection ----

@@ -123,6 +123,7 @@ class Trainer:
         mesh=None,
         batch_axis: str = "data",
         tensor_parallel: bool = False,
+        sharded_risk_set: bool = False,
     ):
         self.model = model
         self.cfg = cfg
@@ -131,6 +132,21 @@ class Trainer:
         self.tx = make_optimizer(cfg)
         self.mesh = mesh
         self.batch_axis = batch_axis
+        # sharded_risk_set: compute the TRAIN loss with the distributed Cox
+        # prefix scan (ops.cox_distributed) — the batch axis stays sharded
+        # through the risk-set logcumsumexp instead of GSPMD all-gathering
+        # the (B,) hazards. Opt-in scaling path for whole-biobank risk sets;
+        # numerically equivalent to the default (tests/test_cox_distributed)
+        # and exercised by __graft_entry__.dryrun_multichip.
+        if sharded_risk_set:
+            if mesh is None:
+                raise ValueError("sharded_risk_set requires a mesh")
+            if cfg.ties != "breslow":
+                raise ValueError(
+                    "the distributed risk-set scan is Breslow-only "
+                    "(ops/cox_distributed.py); use the default path for "
+                    f"ties={cfg.ties!r}")
+        self.sharded_risk_set = sharded_risk_set
         # tensor_parallel: shard wide Dense kernels over the mesh's 'model'
         # axis (Megatron column pattern); GSPMD propagates + inserts the
         # collectives. Requires a mesh with a 'model' axis of size > 1.
@@ -140,6 +156,8 @@ class Trainer:
         self._train_epoch_fn = None
         self._train_step_fn = None
         self._eval_fn = None
+        self._eval_step_fn = None
+        self._cindex_fn = None
 
     # ---------------- init ----------------
 
@@ -202,10 +220,18 @@ class Trainer:
         # the experts alone)
         hazard, aux = res[0], res[1]
         main_scale = res[2] if len(res) > 2 else 1.0
-        loss = main_scale * cox_partial_likelihood(
-            hazard, batch["time"], batch["event"], valid=batch["svalid"],
-            ties=self.cfg.ties,
-        ) + aux
+        if self.sharded_risk_set:
+            from ..ops.cox_distributed import cox_partial_likelihood_sharded
+
+            cox = cox_partial_likelihood_sharded(
+                hazard, batch["time"], batch["event"], mesh=self.mesh,
+                axis_name=self.batch_axis, valid=batch["svalid"],
+                presorted=False)
+        else:
+            cox = cox_partial_likelihood(
+                hazard, batch["time"], batch["event"], valid=batch["svalid"],
+                ties=self.cfg.ties)
+        loss = main_scale * cox + aux
         return loss, mutated.get("batch_stats", batch_stats)
 
     # ---------------- compiled epoch fns ----------------
@@ -288,6 +314,23 @@ class Trainer:
         cindex = concordance_index(h, t, e, valid=sv)
         return cindex, losses, h
 
+    def _build_eval_step(self):
+        """Single-batch jitted eval for the STREAMING path (fixed
+        eval_batch_size shape -> one compile; pooling happens on host)."""
+
+        def eval_step(params, batch_stats, batch):
+            variables = {"params": params, "batch_stats": batch_stats,
+                         **self._extra_collections}
+            out = self.model.apply(
+                variables, *self.batch_to_inputs(batch), train=False)
+            hazard, _ = self.hazard_and_aux(out, batch)
+            loss = cox_partial_likelihood(
+                hazard, batch["time"], batch["event"],
+                valid=batch["svalid"], ties=self.cfg.ties)
+            return hazard, loss
+
+        return jax.jit(eval_step)
+
     def _build_eval(self):
         def eval_batches(params, batch_stats, data, idx, bvalid):
             cindex, losses, h = self.eval_scan(
@@ -369,11 +412,7 @@ class Trainer:
                 batch["svalid"] = batch["svalid"] * bv
                 yield batch
 
-        sharding = None
-        if self.mesh is not None:
-            from ..parallel.sharding import batch_sharding
-
-            sharding = batch_sharding(self.mesh, self.batch_axis)
+        sharding = self._batch_sharding()
         key = dropout_key
         losses = []
         lr_arr = jnp.float32(lr)
@@ -385,6 +424,62 @@ class Trainer:
         # the per-readback dispatch cost every step (and serialize the
         # prefetch pipeline against the device)
         return state, float(jnp.mean(jnp.stack(losses)))
+
+    def _batch_sharding(self):
+        if self.mesh is None:
+            return None
+        from ..parallel.sharding import batch_sharding
+
+        return batch_sharding(self.mesh, self.batch_axis)
+
+    def evaluate_streaming(self, state, host_data, indices, depth: int = 2):
+        """Streaming twin of :meth:`evaluate`: the cohort stays on HOST,
+        eval batches are double-buffered onto the device, hazards pool on the
+        host, and the pooled whole-epoch C-index (reference
+        final_multimodal.py:268-305 semantics, same as ``eval_scan``) is
+        computed by the same ``concordance_index`` op on a bucket-padded
+        vector — one compile per 512-row bucket instead of one per fold
+        size."""
+        from ..data.pipeline import BatchPrefetcher
+
+        if self._eval_step_fn is None:
+            self._eval_step_fn = self._build_eval_step()
+        idx, bvalid = self._pad_indices(indices, self.cfg.eval_batch_size,
+                                        None)
+
+        def host_batches():
+            for bidx, bv in zip(idx, bvalid):
+                batch = {k: v[bidx] for k, v in host_data.items()}
+                batch["valid"] = bv
+                batch["svalid"] = batch["svalid"] * bv
+                yield batch
+
+        hazards, losses = [], []
+        for batch in BatchPrefetcher(host_batches(), depth=depth,
+                                     sharding=self._batch_sharding()):
+            h, loss = self._eval_step_fn(state.params, state.batch_stats,
+                                         batch)
+            hazards.append(h)
+            losses.append(loss)
+        # ONE readback drains the queue (in-order execution; see
+        # train_epoch_streaming)
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        h = np.concatenate([np.asarray(x) for x in hazards])
+
+        flat_idx, bv = idx.reshape(-1), bvalid.reshape(-1)
+        t = host_data["time"][flat_idx]
+        e = host_data["event"][flat_idx]
+        sv = host_data["svalid"][flat_idx] * bv
+        bucket = max(512, -(-h.size // 512) * 512)
+        pad = bucket - h.size
+        if pad:
+            z = np.zeros(pad, np.float32)
+            h, t, e, sv = (np.concatenate([a.astype(np.float32), z])
+                           for a in (h, t, e, sv))
+        if self._cindex_fn is None:
+            self._cindex_fn = jax.jit(concordance_index)
+        cindex = float(self._cindex_fn(h, t, e, sv))
+        return cindex, mean_loss, h[: len(indices)]
 
     def evaluate(self, state, data, indices):
         """Pooled C-index / mean loss / per-sample hazards over `indices`."""

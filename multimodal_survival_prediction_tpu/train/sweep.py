@@ -40,6 +40,7 @@ from .cv_parallel import (
     _fold_sharding,
     _stack_fold_indices,
     _stack_states,
+    assert_extras_invariant,
 )
 from .engine import TrainConfig, Trainer
 from .schedules import ReduceLROnPlateau, cosine_annealing
@@ -104,9 +105,16 @@ def run_hyperparameter_sweep(
     example["valid"] = example["svalid"]
 
     t_start = _time.monotonic()
-    state = _stack_states([
-        trainer.init_state(example, fold=fold, seed=s)
-        for s, _ in padded_points])
+    states, extras_ref = [], None
+    for s, _ in padded_points:
+        states.append(trainer.init_state(example, fold=fold, seed=s))
+        extras = jax.device_get(trainer._extra_collections)
+        if extras_ref is None:
+            extras_ref = extras
+        else:
+            assert_extras_invariant(extras_ref, extras, f"seed {s}")
+    state = _stack_states(states)
+    del states
     if mesh is not None:
         sh = _fold_sharding(mesh, fold_axis)
         state = jax.tree_util.tree_map(

@@ -24,7 +24,14 @@ def main():
     p.add_argument("--backbone", default=None,
                    choices=["densenet121", "simple_cnn"],
                    help="default: the checkpoint's .meta.json, else densenet121")
-    p.add_argument("--pallas-resample", action="store_true")
+    import argparse
+
+    p.add_argument("--pallas-resample", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="force the fused Pallas resample on/off "
+                        "(--no-pallas-resample overrides a checkpoint whose "
+                        ".meta.json recorded use_pallas_resample=true); "
+                        "default: follow the checkpoint metadata")
     p.add_argument("--hu-window", default=None,
                    help="CT Hounsfield window 'lo,hi' — must match the value "
                         "the checkpoint was TRAINED with (use the = form for "
@@ -67,7 +74,7 @@ def main():
 
     pred = predict_risk(cfg, ckpt, table, rnaseq_csv=rnaseq_csv,
                         backbone=args.backbone,
-                        use_pallas=args.pallas_resample or None,
+                        use_pallas=args.pallas_resample,
                         hu_window=parse_hu_window(args.hu_window))
     hi, lo, lr = km_groups(pred)
     out_dir = Path(args.out_dir or Path(args.results_root) / "km_curves")

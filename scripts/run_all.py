@@ -39,6 +39,7 @@ def main():
     )
     from multimodal_survival_prediction_tpu.config import ALL_CONFIGS
 
+    failed: list[str] = []
     for name in args.models.split(","):
         name = name.strip()
         cfg = ALL_CONFIGS[name]
@@ -47,6 +48,7 @@ def main():
             run_training(args, cfg)
         except Exception as e:
             print(f"{name} FAILED: {e}")
+            failed.append(f"train:{name}")
 
     df = collect_results(args.results_dir)
     if len(df):
@@ -95,6 +97,13 @@ def main():
             r = subprocess.run([sys.executable, *cmd])
             if r.returncode:
                 print(f"{Path(cmd[0]).name} FAILED (rc={r.returncode})")
+                failed.append(f"analysis:{Path(cmd[0]).name}")
+
+    # scripted/CI callers must be able to detect a broken phase — exit
+    # nonzero if any training or analysis step failed (each already logged)
+    if failed:
+        print(f"\nrun_all: {len(failed)} step(s) FAILED: {', '.join(failed)}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

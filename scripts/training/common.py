@@ -72,6 +72,17 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="checkpoint full train state periodically and resume "
                         "an interrupted CV run")
     p.add_argument("--checkpoint-every", type=int, default=10)
+    p.add_argument("--sharded-risk-set", action="store_true",
+                   help="with --mesh N: compute the train Cox loss with the "
+                        "distributed risk-set prefix scan (the batch axis "
+                        "stays sharded through the logcumsumexp instead of "
+                        "all-gathering hazards) — the scaling path for "
+                        "whole-biobank risk sets; Breslow ties only")
+    p.add_argument("--streaming", action="store_true",
+                   help="keep the cohort on host and double-buffer batches "
+                        "onto the device (for cohorts exceeding HBM); same "
+                        "trajectory as the default device-resident scan "
+                        "epoch, which is faster whenever the data fits")
     return p
 
 
@@ -150,10 +161,13 @@ def run_training(args, cfg):
             "parallelism with the sequential driver")
 
     if args.fold_parallel:
-        if args.mesh or args.tp > 1 or args.resume or args.profile_dir:
+        if args.mesh or args.tp > 1 or args.resume or args.profile_dir \
+                or args.streaming or args.sharded_risk_set:
             raise SystemExit(
                 "--fold-parallel is mutually exclusive with --mesh/--tp/"
-                "--resume/--profile-dir (use the sequential driver for those)")
+                "--resume/--profile-dir/--streaming/--sharded-risk-set (use "
+                "the sequential driver for those; fold-parallel implies a "
+                "device-resident cohort)")
         from multimodal_survival_prediction_tpu.train.cv_parallel import (
             make_fold_mesh,
             run_cross_validation_parallel,
@@ -185,6 +199,7 @@ def run_training(args, cfg):
         hu_window=parse_hu_window(args.hu_window),
         profile_dir=args.profile_dir,
         resume=args.resume, checkpoint_every=args.checkpoint_every,
+        streaming=args.streaming, sharded_risk_set=args.sharded_risk_set,
     )
     print(f"\n{cfg.display_name}: C-index "
           f"{payload['c_index_mean']:.4f} ± {payload['c_index_std']:.4f}")

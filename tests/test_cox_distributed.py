@@ -58,6 +58,82 @@ def test_sharded_gradients_match(mesh):
     np.testing.assert_allclose(g_shard, g_ref, atol=2e-5)
 
 
+def test_unsorted_entry_matches_sorted(mesh):
+    """presorted=False (the engine mode) must sort exactly like
+    ops.cox._sort_desc_by_time — including pushing invalid rows last."""
+    rng = np.random.default_rng(5)
+    n, pad = 48, 16
+    hazard = rng.normal(size=n + pad).astype(np.float32)
+    time = rng.uniform(1, 3000, size=n + pad).astype(np.float32)
+    event = (rng.uniform(size=n + pad) < 0.6).astype(np.float32)
+    event[0] = 1.0
+    valid = np.concatenate(
+        [np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    ref = float(cox_partial_likelihood(hazard, time, event, valid=valid))
+    got = float(cox_partial_likelihood_sharded(
+        hazard, time, event, mesh, valid=valid, presorted=False))
+    assert got == pytest.approx(ref, abs=2e-5)
+
+
+def test_engine_sharded_risk_set_matches_default(mesh):
+    """Trainer(sharded_risk_set=True) — the opt-in engine mode — must produce
+    the same one-epoch trajectory as the default hazard-all-gather path on a
+    batch-DP mesh (same init/shuffle/dropout chain; Breslow semantics are
+    identical, only the collective structure differs)."""
+    from multimodal_survival_prediction_tpu.models import RNASeqSurvivalModel
+    from multimodal_survival_prediction_tpu.train.engine import (
+        TrainConfig,
+        Trainer,
+    )
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    n, d = 64, 48
+    data = {
+        "rnaseq": rng.normal(size=(n, d)).astype(np.float32),
+        "time": rng.uniform(1, 3000, size=n).astype(np.float32),
+        "event": (rng.uniform(size=n) < 0.6).astype(np.float32),
+        "svalid": np.ones(n, np.float32),
+    }
+    data["event"][:4] = 1.0
+    cfg = TrainConfig(batch_size=16)
+    model = RNASeqSurvivalModel(hidden_dims=(32, 16))
+
+    def one_epoch(sharded: bool):
+        tr = Trainer(model, lambda b: (b["rnaseq"],), None, cfg, mesh=mesh,
+                     sharded_risk_set=sharded)
+        example = {k: v[:16] for k, v in data.items()}
+        example["valid"] = example["svalid"]
+        state = tr.init_state(example, fold=1)
+        dev = {k: jnp.asarray(v) for k, v in data.items()}
+        state, loss = tr.train_epoch(
+            state, dev, np.arange(n), np.random.default_rng(9), 1e-3,
+            jax.random.PRNGKey(4))
+        c, vloss, _ = tr.evaluate(state, dev, np.arange(n))
+        return loss, c, vloss
+
+    l_ref, c_ref, v_ref = one_epoch(False)
+    l_sh, c_sh, v_sh = one_epoch(True)
+    assert l_sh == pytest.approx(l_ref, abs=2e-5)
+    assert v_sh == pytest.approx(v_ref, abs=2e-5)
+    assert c_sh == pytest.approx(c_ref, abs=1e-6)
+
+
+def test_engine_sharded_risk_set_rejects_efron(mesh):
+    from multimodal_survival_prediction_tpu.models import RNASeqSurvivalModel
+    from multimodal_survival_prediction_tpu.train.engine import (
+        TrainConfig,
+        Trainer,
+    )
+
+    with pytest.raises(ValueError, match="Breslow-only"):
+        Trainer(RNASeqSurvivalModel(hidden_dims=(8,)),
+                lambda b: (b["rnaseq"],), None,
+                TrainConfig(batch_size=8, ties="efron"), mesh=mesh,
+                sharded_risk_set=True)
+
+
 def test_sharded_degenerate_all_censored(mesh):
     rng = np.random.default_rng(4)
     h = rng.normal(size=16).astype(np.float32)

@@ -39,6 +39,82 @@ def test_native_resample_matches_scipy(rng):
     np.testing.assert_allclose(ours, golden, atol=2e-6)
 
 
+def test_native_resample_int16_matches_xla(rng):
+    """Native-dtype C++ resample (the transfer-aware ingest path: int16 CT
+    in, no float32 materialization) must match the XLA device kernel."""
+    from multimodal_survival_prediction_tpu.ops.resample import (
+        resample_normalize,
+    )
+
+    vol = rng.integers(-1024, 3072, size=(24, 40, 36), dtype=np.int16)
+    host = resample_normalize_host(vol, (16, 16, 8))
+    dev = np.asarray(resample_normalize(vol, (16, 16, 8)))
+    np.testing.assert_allclose(host, dev, atol=2e-5)
+
+
+def test_native_resample_hu_window_matches_xla(rng):
+    from multimodal_survival_prediction_tpu.ops.resample import (
+        resample_normalize,
+    )
+
+    vol = rng.integers(-1024, 3072, size=(20, 30, 25), dtype=np.int16)
+    hu = (-150.0, 250.0)
+    host = resample_normalize_host(vol, (12, 12, 8), hu_window=hu)
+    dev = np.asarray(resample_normalize(vol, (12, 12, 8), hu_window=hu))
+    np.testing.assert_allclose(host, dev, atol=2e-5)
+
+
+def test_volume_prefetcher_host_mode_matches_device(tmp_path, rng):
+    """resample='host' (C++ in the decode workers) must yield the same
+    volumes as resample='device' (XLA) — the auto-selection can then swap
+    them freely by link bandwidth."""
+    if not native_available():
+        pytest.skip("native library unavailable")
+    jobs = []
+    for i in range(4):
+        vol = rng.integers(-500, 2000, size=(14, 18, 16), dtype=np.int16)
+        p = tmp_path / f"h{i}.nii.gz"
+        write_nifti(p, vol)
+        jobs.append((i, str(p)))
+    pre = VolumePrefetcher(num_workers=2)
+    dev = dict(pre.run(jobs, (8, 8, 8), resample="device"))
+    assert pre.last_mode == "device"
+    host = dict(pre.run(jobs, (8, 8, 8), resample="host"))
+    assert pre.last_mode == "host"
+    for i in range(4):
+        np.testing.assert_allclose(host[i], dev[i], atol=2e-5)
+
+
+def test_volume_prefetcher_auto_picks_host_on_slow_link(tmp_path, rng,
+                                                        monkeypatch):
+    """With a (mocked) slow link, auto mode must choose the host C++
+    resample and still produce correct volumes, including for the probe
+    volume itself."""
+    if not native_available():
+        pytest.skip("native library unavailable")
+    from multimodal_survival_prediction_tpu.data import pipeline
+
+    monkeypatch.setattr(pipeline, "probe_link_bandwidth",
+                        lambda nbytes=0: 1.0)  # 1 byte/s -> host wins
+    jobs = []
+    vols = []
+    for i in range(3):
+        vol = rng.integers(-500, 2000, size=(12, 14, 16), dtype=np.int16)
+        p = tmp_path / f"a{i}.nii.gz"
+        write_nifti(p, vol)
+        jobs.append((i, str(p)))
+        vols.append(vol)
+    pre = VolumePrefetcher(num_workers=2)
+    got = dict(pre.run(jobs, (8, 8, 8), resample="auto"))
+    assert pre.last_mode == "host"
+    assert len(got) == 3
+    for i, v in enumerate(vols):
+        ref = ndimage.zoom(
+            (v.astype(np.float32) - v.min()) / (v.max() - v.min() + 1e-8),
+            [o / s for s, o in zip(v.shape, (8, 8, 8))], order=1)
+        np.testing.assert_allclose(got[i], ref, atol=2e-5)
+
+
 def test_volume_prefetcher(tmp_path, rng):
     paths = []
     vols = []

@@ -263,6 +263,84 @@ def test_streaming_epoch_matches_scan_epoch():
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
+def test_densenet_flagship_under_dp_mesh():
+    """The flagship CT encoder (DenseNet backbone) under the 8-device DP
+    mesh: one train step of PartialModalityNet(backbone='densenet121') at
+    (32,32,32) must run with the batch sharded, and the resulting BatchNorm
+    statistics must match the single-device step (GSPMD computes BN moments
+    over the GLOBAL batch, so sharding must not change them). Two dense
+    blocks via block_config keep the CPU compile tolerable — the layer TYPES
+    (conv0 7^3/s2, BN, bottleneck dense layers, transition avg-pool) are the
+    full DenseNet121 path."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.models import PartialModalityNet
+    from multimodal_survival_prediction_tpu.ops.cox import gate_entropy_loss
+    from multimodal_survival_prediction_tpu.parallel import make_mesh
+    from multimodal_survival_prediction_tpu.train.engine import (
+        TrainConfig,
+        Trainer,
+    )
+
+    rng = np.random.default_rng(17)
+    n, rna_dim = 8, 64
+    data_np = {
+        "image": rng.normal(size=(n, 32, 32, 32, 1)).astype(np.float32),
+        "rnaseq": rng.normal(size=(n, rna_dim)).astype(np.float32),
+        "clinical": rng.uniform(0.3, 0.9, size=(n, 1)).astype(np.float32),
+        "mask": (rng.uniform(size=(n, 3)) < 0.8).astype(np.float32),
+        "time": rng.exponential(800.0, size=(n,)).astype(np.float32),
+        "event": (rng.uniform(size=(n,)) < 0.6).astype(np.float32),
+        "svalid": np.ones((n,), np.float32),
+    }
+    data_np["event"][:2] = 1.0
+    model = PartialModalityNet(backbone="densenet121", block_config=(2, 2))
+
+    def adapter(out, batch):
+        hazard, gates = out
+        return hazard, 0.01 * gate_entropy_loss(gates, valid=batch["valid"])
+
+    def one_step(mesh):
+        tr = Trainer(model,
+                     lambda b: (b["image"], b["rnaseq"], b["clinical"],
+                                b["mask"]),
+                     adapter, TrainConfig(batch_size=8), mesh=mesh)
+        example = dict(data_np)
+        example["valid"] = example["svalid"]
+        state = tr.init_state(example, fold=1)
+        dev = {k: jnp.asarray(v) for k, v in data_np.items()}
+        state, loss = tr.train_epoch(state, dev, np.arange(n),
+                                     np.random.default_rng(5), 1e-4,
+                                     jax.random.PRNGKey(2))
+        return loss, jax.device_get(state.batch_stats)
+
+    loss_mesh, bs_mesh = one_step(make_mesh(8))
+    loss_one, bs_one = one_step(None)
+    assert np.isfinite(loss_mesh)
+    assert abs(loss_mesh - loss_one) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(bs_mesh),
+                    jax.tree_util.tree_leaves(bs_one)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_cv_driver_matches_device_resident(cohort, tmp_path):
+    """run_cross_validation(streaming=True) — the --streaming CLI path —
+    keeps the cohort host-resident and must reproduce the device-resident
+    driver's fold results (same batch order + per-step dropout chain; the
+    streaming eval pools the same hazards)."""
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2)
+    _, o_dev = _run(cfg, cohort, tmp_path / "dev", num_epochs=2,
+                    write_outputs=False)
+    _, o_str = _run(cfg, cohort, tmp_path / "str", num_epochs=2,
+                    write_outputs=False, streaming=True)
+    for a, b in zip(o_dev, o_str):
+        assert abs(a.best_c_index - b.best_c_index) < 1e-5
+        for ha, hb in zip(a.history, b.history):
+            assert abs(ha["train_loss"] - hb["train_loss"]) < 1e-5
+            assert abs(ha["val_c_index"] - hb["val_c_index"]) < 1e-5
+
+
 def test_resume_restores_tp_shardings(cohort, tmp_path):
     """Resume under a DP x TP mesh must put restored leaves back onto their
     original shardings (wide RNA kernels on the 'model' axis), not
