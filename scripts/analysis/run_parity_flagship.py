@@ -42,6 +42,13 @@ def main():
     p.add_argument("--image-shape", default="32,32,32")
     p.add_argument("--out-dir", default=str(REPO_ROOT))
     p.add_argument("--data-root", default=None)
+    p.add_argument("--append", action="store_true",
+                   help="append this run as a new section of "
+                        "PARITY_TWIN_FLAGSHIP.md (and a tagged JSON) instead "
+                        "of overwriting — used for the reference-shape "
+                        "64x64x32 run on top of the round-2 32x32x32 one")
+    p.add_argument("--tag", default=None,
+                   help="section title / JSON suffix for --append")
     args = p.parse_args()
 
     import dataclasses
@@ -153,12 +160,15 @@ def main():
     }
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / "parity_flagship_results.json").write_text(
-        json.dumps(payload, indent=2))
+    tag = args.tag or "x".join(str(s) for s in image_shape)
+    json_name = (f"parity_flagship_results_{tag}.json" if args.append
+                 else "parity_flagship_results.json")
+    (out_dir / json_name).write_text(json.dumps(payload, indent=2))
 
     lines = [
-        "# PARITY_TWIN_FLAGSHIP — torch oracle vs JAX build "
-        "(gated partial-modality twin run)",
+        (f"## {tag} run (appended)" if args.append else
+         "# PARITY_TWIN_FLAGSHIP — torch oracle vs JAX build "
+         "(gated partial-modality twin run)"),
         "",
         "Same synthetic cohort, identical arrays (framework data layer), "
         "bit-identical sklearn `KFold(shuffle=True, random_state=42)` "
@@ -220,9 +230,13 @@ def main():
         f"(torch {torch_sec:.0f}s, jax {jax_sec:.0f}s).",
         "",
     ]
-    (out_dir / "PARITY_TWIN_FLAGSHIP.md").write_text("\n".join(lines))
+    md = out_dir / "PARITY_TWIN_FLAGSHIP.md"
+    if args.append and md.exists():
+        md.write_text(md.read_text().rstrip() + "\n\n" + "\n".join(lines))
+    else:
+        md.write_text("\n".join(lines))
     print(json.dumps(payload, indent=2))
-    print(f"[parity-flagship] wrote {out_dir / 'PARITY_TWIN_FLAGSHIP.md'}")
+    print(f"[parity-flagship] wrote {md}")
     return 0 if ok else 1
 
 
