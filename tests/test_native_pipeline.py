@@ -115,6 +115,45 @@ def test_volume_prefetcher_auto_picks_host_on_slow_link(tmp_path, rng,
         np.testing.assert_allclose(got[i], ref, atol=2e-5)
 
 
+def test_probe_link_bandwidth_watchdog(monkeypatch):
+    """A stalled device_get (the axon fresh-process quirk: bare transfers
+    block until the first compiled program runs) must not hang the probe —
+    it returns a pessimistic bound within the timeout, and the late-
+    completing measurement repairs the cache on a subsequent call."""
+    import threading
+    import time
+
+    from multimodal_survival_prediction_tpu.data import pipeline
+
+    release = threading.Event()
+    real_get = pipeline.jax.device_get
+
+    def slow_get(x):
+        release.wait(30)
+        return real_get(x)
+
+    monkeypatch.setattr(pipeline.jax, "device_get", slow_get)
+    monkeypatch.setattr(pipeline, "_BW_CACHE", {})
+    monkeypatch.setattr(pipeline, "_BW_PENDING", {})
+
+    nbytes, timeout = 1 << 20, 0.2
+    t0 = time.perf_counter()
+    bw = pipeline.probe_link_bandwidth(nbytes=nbytes, timeout_sec=timeout)
+    assert time.perf_counter() - t0 < 5  # returned promptly, not after 30 s
+    assert bw == pytest.approx(2 * nbytes / timeout)
+    # probe still stalled -> same pessimistic bound, still no cache entry
+    assert pipeline.probe_link_bandwidth(
+        nbytes=nbytes, timeout_sec=timeout) == pytest.approx(bw)
+    assert not pipeline._BW_CACHE
+
+    release.set()  # the "first program ran" moment: the stall ends
+    done = next(iter(pipeline._BW_PENDING.values()))[0]
+    assert done.wait(10)
+    late = pipeline.probe_link_bandwidth(nbytes=nbytes, timeout_sec=timeout)
+    assert pipeline._BW_CACHE  # real measurement cached
+    assert late > bw  # an actual in-process round trip beats the bound
+
+
 def test_volume_prefetcher(tmp_path, rng):
     paths = []
     vols = []
