@@ -138,7 +138,6 @@ def read_nifti_fast(path):
 # numpy dtype -> NIfTI datatype code (inverse of _NIFTI_DTYPES, for the
 # native-dtype resample entry point)
 _DTYPE_CODES = {np.dtype(v): k for k, v in _NIFTI_DTYPES.items()}
-_DTYPE_CODES[np.dtype(np.float64)] = 64
 
 
 def resample_normalize_host(vol: np.ndarray, out_shape,
@@ -148,7 +147,8 @@ def resample_normalize_host(vol: np.ndarray, out_shape,
     Reads the volume in its NATIVE dtype (int16 CTs resample without ever
     materializing a float32 copy of the 80 MB volume) and supports the same
     optional CT Hounsfield window as the device path (ops/resample.py) —
-    bit-equal outputs are pinned in tests/test_native_pipeline.py. This is
+    equality within float tolerance (atol=2e-5) is pinned in
+    tests/test_native_pipeline.py. This is
     the transfer-aware ingest path: on a slow host->device link, resampling
     here and shipping the ~512 KB result beats shipping the full volume
     (data/pipeline.py chooses by measured link bandwidth). Falls back to the

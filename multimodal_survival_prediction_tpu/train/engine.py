@@ -138,14 +138,8 @@ class Trainer:
         # the (B,) hazards. Opt-in scaling path for whole-biobank risk sets;
         # numerically equivalent to the default (tests/test_cox_distributed)
         # and exercised by __graft_entry__.dryrun_multichip.
-        if sharded_risk_set:
-            if mesh is None:
-                raise ValueError("sharded_risk_set requires a mesh")
-            if cfg.ties != "breslow":
-                raise ValueError(
-                    "the distributed risk-set scan is Breslow-only "
-                    "(ops/cox_distributed.py); use the default path for "
-                    f"ties={cfg.ties!r}")
+        if sharded_risk_set and mesh is None:
+            raise ValueError("sharded_risk_set requires a mesh")
         self.sharded_risk_set = sharded_risk_set
         # tensor_parallel: shard wide Dense kernels over the mesh's 'model'
         # axis (Megatron column pattern); GSPMD propagates + inserts the
@@ -226,7 +220,7 @@ class Trainer:
             cox = cox_partial_likelihood_sharded(
                 hazard, batch["time"], batch["event"], mesh=self.mesh,
                 axis_name=self.batch_axis, valid=batch["svalid"],
-                presorted=False)
+                presorted=False, ties=self.cfg.ties)
         else:
             cox = cox_partial_likelihood(
                 hazard, batch["time"], batch["event"], valid=batch["svalid"],

@@ -77,7 +77,7 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "distributed risk-set prefix scan (the batch axis "
                         "stays sharded through the logcumsumexp instead of "
                         "all-gathering hazards) — the scaling path for "
-                        "whole-biobank risk sets; Breslow ties only")
+                        "whole-biobank risk sets; Breslow and Efron ties")
     p.add_argument("--streaming", action="store_true",
                    help="keep the cohort on host and double-buffer batches "
                         "onto the device (for cohorts exceeding HBM); same "

@@ -38,7 +38,10 @@ def main():
                             ("--fold-parallel", args.fold_parallel, 0),
                             ("--fold-dp", args.fold_dp, 1),
                             ("--resume", args.resume, False),
-                            ("--profile-dir", args.profile_dir, None)):
+                            ("--profile-dir", args.profile_dir, None),
+                            ("--streaming", args.streaming, False),
+                            ("--sharded-risk-set",
+                             args.sharded_risk_set, False)):
         if val != none:
             raise SystemExit(f"{flag} is not supported by the sweep driver "
                              f"(candidates parallelize via --sweep-mesh)")

@@ -120,18 +120,101 @@ def test_engine_sharded_risk_set_matches_default(mesh):
     assert c_sh == pytest.approx(c_ref, abs=1e-6)
 
 
-def test_engine_sharded_risk_set_rejects_efron(mesh):
+def _tied_inputs(rng, n, n_times=5):
+    """Heavily tied survival data: times drawn from a small integer set so
+    tie groups straddle the 8 shard boundaries."""
+    hazard = rng.normal(size=n).astype(np.float32)
+    time = rng.integers(1, 1 + n_times, size=n).astype(np.float32)
+    event = (rng.uniform(size=n) < 0.6).astype(np.float32)
+    event[0] = 1.0
+    order = np.argsort(-time, kind="stable")
+    return hazard[order], time[order], event[order]
+
+
+@pytest.mark.parametrize("n_times", [1, 3, 5])
+def test_sharded_efron_matches_single_device(mesh, n_times):
+    """Cross-shard tie groups (n_times=1 is ONE group spanning all 8
+    shards) must reproduce the single-axis Efron loss."""
+    rng = np.random.default_rng(7)
+    h, t, e = _tied_inputs(rng, 64, n_times)
+    ref = float(cox_partial_likelihood(h, t, e, ties="efron"))
+    got = float(cox_partial_likelihood_sharded(h, t, e, mesh, ties="efron"))
+    assert got == pytest.approx(ref, abs=2e-5)
+
+
+def test_sharded_efron_untied_equals_breslow(mesh):
+    rng = np.random.default_rng(8)
+    h, t, e = _sorted_inputs(rng, 64)  # continuous times: no ties
+    br = float(cox_partial_likelihood_sharded(h, t, e, mesh))
+    ef = float(cox_partial_likelihood_sharded(h, t, e, mesh, ties="efron"))
+    assert ef == pytest.approx(br, abs=2e-5)
+
+
+def test_sharded_efron_gradients_match(mesh):
+    rng = np.random.default_rng(9)
+    h, t, e = _tied_inputs(rng, 64, 4)
+    g_ref = np.asarray(jax.grad(
+        lambda x: cox_partial_likelihood(x, t, e, ties="efron"))(h))
+    g_shard = np.asarray(jax.grad(
+        lambda x: cox_partial_likelihood_sharded(
+            x, t, e, mesh, ties="efron"))(h))
+    np.testing.assert_allclose(g_shard, g_ref, atol=2e-5)
+
+
+def test_sharded_efron_unsorted_with_padding(mesh):
+    """presorted=False + validity mask (the engine path) under heavy ties."""
+    rng = np.random.default_rng(10)
+    n, pad = 48, 16
+    hazard = rng.normal(size=n + pad).astype(np.float32)
+    time = rng.integers(1, 5, size=n + pad).astype(np.float32)
+    event = (rng.uniform(size=n + pad) < 0.6).astype(np.float32)
+    event[0] = 1.0
+    valid = np.concatenate(
+        [np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    ref = float(cox_partial_likelihood(
+        hazard, time, event, valid=valid, ties="efron"))
+    got = float(cox_partial_likelihood_sharded(
+        hazard, time, event, mesh, valid=valid, presorted=False,
+        ties="efron"))
+    assert got == pytest.approx(ref, abs=2e-5)
+
+
+def test_engine_sharded_risk_set_efron_matches_default(mesh):
+    """Trainer(sharded_risk_set=True) with cfg.ties='efron' must match the
+    default all-gather Efron path on a tied cohort."""
     from multimodal_survival_prediction_tpu.models import RNASeqSurvivalModel
     from multimodal_survival_prediction_tpu.train.engine import (
         TrainConfig,
         Trainer,
     )
 
-    with pytest.raises(ValueError, match="Breslow-only"):
-        Trainer(RNASeqSurvivalModel(hidden_dims=(8,)),
-                lambda b: (b["rnaseq"],), None,
-                TrainConfig(batch_size=8, ties="efron"), mesh=mesh,
-                sharded_risk_set=True)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n, d = 64, 32
+    data = {
+        "rnaseq": rng.normal(size=(n, d)).astype(np.float32),
+        "time": rng.integers(1, 6, size=n).astype(np.float32),
+        "event": (rng.uniform(size=n) < 0.6).astype(np.float32),
+        "svalid": np.ones(n, np.float32),
+    }
+    data["event"][:4] = 1.0
+    cfg = TrainConfig(batch_size=16, ties="efron")
+    model = RNASeqSurvivalModel(hidden_dims=(16,))
+
+    def one_epoch(sharded: bool):
+        tr = Trainer(model, lambda b: (b["rnaseq"],), None, cfg, mesh=mesh,
+                     sharded_risk_set=sharded)
+        example = {k: v[:16] for k, v in data.items()}
+        example["valid"] = example["svalid"]
+        state = tr.init_state(example, fold=1)
+        dev = {k: jnp.asarray(v) for k, v in data.items()}
+        state, loss = tr.train_epoch(
+            state, dev, np.arange(n), np.random.default_rng(9), 1e-3,
+            jax.random.PRNGKey(4))
+        return loss
+
+    assert one_epoch(True) == pytest.approx(one_epoch(False), abs=2e-5)
 
 
 def test_sharded_degenerate_all_censored(mesh):

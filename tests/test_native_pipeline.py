@@ -115,6 +115,63 @@ def test_volume_prefetcher_auto_picks_host_on_slow_link(tmp_path, rng,
         np.testing.assert_allclose(got[i], ref, atol=2e-5)
 
 
+def test_volume_prefetcher_auto_device_is_single_path(tmp_path, rng,
+                                                      monkeypatch):
+    """With a (mocked) fast link, auto mode picks the device path — and the
+    probe volume must then ALSO come from the device resample (host/device
+    agree only to float tolerance, so a mixed-path cohort would not be
+    bit-reproducible vs an explicit resample='device' run)."""
+    if not native_available():
+        pytest.skip("native library unavailable")
+    from multimodal_survival_prediction_tpu.data import pipeline
+
+    monkeypatch.setattr(pipeline, "probe_link_bandwidth",
+                        lambda nbytes=0: 1e12)  # instant link -> device wins
+    jobs = []
+    for i in range(3):
+        vol = rng.integers(-500, 2000, size=(12, 14, 16), dtype=np.int16)
+        p = tmp_path / f"d{i}.nii.gz"
+        write_nifti(p, vol)
+        jobs.append((i, str(p)))
+    pre = VolumePrefetcher(num_workers=2)
+    dev = dict(pre.run(jobs, (8, 8, 8), resample="device"))
+    got = dict(pre.run(jobs, (8, 8, 8), resample="auto"))
+    assert pre.last_mode == "device"
+    for i in range(3):
+        np.testing.assert_array_equal(got[i], dev[i])  # bit-equal, probe too
+
+
+def test_volume_prefetcher_auto_probe_resample_failure(tmp_path, rng,
+                                                       monkeypatch):
+    """A host-resample failure on the probe volume must degrade that volume
+    to None (failure->missing-modality semantics) and fall back to the
+    device path for the rest of the cohort, not crash the ingest."""
+    if not native_available():
+        pytest.skip("native library unavailable")
+    from multimodal_survival_prediction_tpu.data import pipeline
+
+    def boom(vol, out_shape, hu_window=None):
+        raise ValueError("degenerate volume")
+
+    monkeypatch.setattr(pipeline, "probe_link_bandwidth",
+                        lambda nbytes=0: 1.0)
+    jobs = []
+    for i in range(3):
+        vol = rng.integers(-500, 2000, size=(12, 14, 16), dtype=np.int16)
+        p = tmp_path / f"f{i}.nii.gz"
+        write_nifti(p, vol)
+        jobs.append((i, str(p)))
+    import multimodal_survival_prediction_tpu.data.native as native_mod
+
+    monkeypatch.setattr(native_mod, "resample_normalize_host", boom)
+    pre = VolumePrefetcher(num_workers=2)
+    got = dict(pre.run(jobs, (8, 8, 8), resample="auto"))
+    assert pre.last_mode == "device"
+    assert got[0] is None  # the probe volume degraded, not raised
+    for i in (1, 2):
+        assert got[i].shape == (8, 8, 8)
+
+
 def test_probe_link_bandwidth_watchdog(monkeypatch):
     """A stalled device_get (the axon fresh-process quirk: bare transfers
     block until the first compiled program runs) must not hang the probe —
