@@ -21,6 +21,9 @@ def test_run_all_full_analysis(tmp_path):
     # inside its budget under ambient load (VERDICT r2 weak #1)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env["JAX_PLATFORMS"] = "cpu"
+    # skip axon plugin registration in the subprocess tree (it can block on
+    # the tunnel even under JAX_PLATFORMS=cpu — CLAUDE.md environment quirks)
+    env["PALLAS_AXON_POOL_IPS"] = ""
     r = subprocess.run(
         [sys.executable, str(REPO_ROOT / "scripts" / "run_all.py"),
          "--models", "rnaseq_only,image_only",

@@ -16,6 +16,11 @@ def test_train_rnaseq_only_streaming_cli(tmp_path):
     # single virtual device is enough (and compiles faster on the 1-core host)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env["JAX_PLATFORMS"] = "cpu"
+    # skip axon plugin registration entirely: with the pool IP inherited the
+    # plugin still registers (and can block on the tunnel) even under
+    # JAX_PLATFORMS=cpu — observed as a 600 s near-zero-CPU hang of this very
+    # subprocess (CLAUDE.md environment quirks)
+    env["PALLAS_AXON_POOL_IPS"] = ""
     r = subprocess.run(
         [sys.executable,
          str(REPO_ROOT / "scripts" / "training" / "train_rnaseq_only.py"),
