@@ -452,30 +452,30 @@ def main():
     print(f"[bench] train bf16 bs={HEADLINE_BATCH}: {steps} steps/s "
           f"({flops} flops/step)", file=sys.stderr)
 
-    fold_steps, fold_flops = None, None
+    fold_steps, fold_flops, fold_src = None, None, None
     if os.environ.get("BENCH_FOLD_PARALLEL") == "1":
         # opt-in: the 5-fold vmapped chunk (another multi-minute remote
         # compile) — reference hyperparameters, bs=8 per fold
         r = _try("train_fold_parallel_bf16", measure_train_steps_per_sec,
                  dtype=jnp.bfloat16, folds=FOLDS, batch=BATCH)
-        fold_steps, fold_flops = (r[0], r[1]) if r else (None, None)
+        fold_steps, fold_flops, fold_src = r if r else (None, None, None)
         print(f"[bench] fold-parallel bf16: {fold_steps} steps/s",
               file=sys.stderr)
 
-    bs8_steps, bs8_flops = None, None
+    bs8_steps, bs8_flops, bs8_src = None, None, None
     if os.environ.get("BENCH_BS8") == "1":
         # opt-in: the round-2 single-fold bs=8 program, for continuity
         r = _try("train_bs8_bf16", measure_train_steps_per_sec,
                  dtype=jnp.bfloat16, folds=1, batch=BATCH)
-        bs8_steps, bs8_flops = (r[0], r[1]) if r else (None, None)
+        bs8_steps, bs8_flops, bs8_src = r if r else (None, None, None)
         print(f"[bench] single-fold bs8 bf16: {bs8_steps} steps/s",
               file=sys.stderr)
 
-    fp32_steps = None
+    fp32_steps, fp32_flops, fp32_src = None, None, None
     if os.environ.get("BENCH_FP32") == "1":
         r = _try("train_bs32_fp32", measure_train_steps_per_sec,
                  folds=1, batch=HEADLINE_BATCH)
-        fp32_steps = r[0] if r else None
+        fp32_steps, fp32_flops, fp32_src = r if r else (None, None, None)
         print(f"[bench] bs{HEADLINE_BATCH} fp32: {fp32_steps} steps/s",
               file=sys.stderr)
 
@@ -515,16 +515,29 @@ def main():
 
     # 608-patient epoch = exactly 19 steps at bs=32 ->
     # patients/s = steps/s * batch (same identity at bs=8: 76 steps)
+    # The headline_* / flops / mfu fields always describe the program that
+    # actually carried the headline (the fallbacks differ in dtype AND batch).
     headline_dtype = "bf16"
+    headline_batch = HEADLINE_BATCH
     if steps is not None:
         our_patients_per_sec = steps * HEADLINE_BATCH
+        headline_program = f"bs{HEADLINE_BATCH}_bf16"
+        h_steps, h_flops, h_src = steps, flops, flops_src
     elif fp32_steps is not None:
         our_patients_per_sec = fp32_steps * HEADLINE_BATCH
         headline_dtype = "fp32"
+        headline_program = f"bs{HEADLINE_BATCH}_fp32"
+        h_steps, h_flops, h_src = fp32_steps, fp32_flops, fp32_src
     elif fold_steps is not None:
         our_patients_per_sec = fold_steps * FOLDS * BATCH
+        headline_program = "fold_parallel_bf16"
+        headline_batch = FOLDS * BATCH  # effective patients per vmapped step
+        h_steps, h_flops, h_src = fold_steps, fold_flops, fold_src
     else:
         our_patients_per_sec = bs8_steps * BATCH
+        headline_program = f"bs{BATCH}_bf16"
+        headline_batch = BATCH
+        h_steps, h_flops, h_src = bs8_steps, bs8_flops, bs8_src
 
     base = _try("torch_baseline", reference_baseline)
     if base is not None:
@@ -552,17 +565,18 @@ def main():
         "vs_baseline": vs_baseline,
         "backend": backend,
         "headline_dtype": headline_dtype,
-        "headline_batch": HEADLINE_BATCH,
+        "headline_batch": headline_batch,
+        "headline_program": headline_program,
         "steps_per_dispatch": STEPS_PER_DISPATCH,
         "train_steps_per_sec_bf16": round(steps, 3) if steps else None,
         "train_steps_per_sec_fp32": (round(fp32_steps, 3)
                                      if fp32_steps else None),
-        "flops_per_step": flops,
+        "flops_per_step": h_flops,
         "flops_source": ({"live": "cost_analysis(live)",
                           "pinned": "cost_analysis(pinned, see "
-                                    "PINNED_FLOPS)"}.get(flops_src)
-                         if flops else None),
-        "mfu_pct": _mfu(steps, flops),
+                                    "PINNED_FLOPS)"}.get(h_src)
+                         if h_flops else None),
+        "mfu_pct": _mfu(h_steps, h_flops),
         "peak_flops": peak,  # v5e bf16 peak when backend == tpu
         # 5-fold vmapped chunk (BENCH_FOLD_PARALLEL=1; measured live
         # 2026-08-17: 24.0 steps/s = 960.9 patients/s, mfu 7.77% — grouped

@@ -36,7 +36,7 @@ PEAK_HBM_BYTES_PER_SEC = 819e9  # v5e HBM bandwidth
 K = 64  # steps per dispatch
 
 
-def probe(batch, timed_dispatches=3, discard=1):
+def probe(batch, timed_dispatches=3, discard=1, remat=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -50,7 +50,7 @@ def probe(batch, timed_dispatches=3, discard=1):
         gate_entropy_loss,
     )
 
-    model = PartialModalityNet(dtype=jnp.bfloat16)
+    model = PartialModalityNet(dtype=jnp.bfloat16, remat=remat)
     b_np = _example_batch(batch, IMAGE_SHAPE, RNA_DIM)
     data_b = jax.device_put(b_np)
     rng = jax.random.PRNGKey(0)
@@ -125,6 +125,7 @@ def probe(batch, timed_dispatches=3, discard=1):
 
     out = {
         "batch": batch,
+        "remat": remat,
         "steps_per_sec": round(steps_per_sec, 2),
         "patients_per_sec": round(steps_per_sec * batch, 1),
         "ms_per_step": round(1000.0 / steps_per_sec, 2),
@@ -148,9 +149,13 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batches", default="32,64")
     p.add_argument("--timed-dispatches", type=int, default=3)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize DenseNet dense layers (trade recompute"
+                        " FLOPs for activation HBM traffic)")
     args = p.parse_args()
     for b in (int(x) for x in args.batches.split(",")):
-        print(json.dumps(probe(b, timed_dispatches=args.timed_dispatches)),
+        print(json.dumps(probe(b, timed_dispatches=args.timed_dispatches,
+                               remat=args.remat)),
               flush=True)
 
 

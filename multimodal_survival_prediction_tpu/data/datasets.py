@@ -36,6 +36,10 @@ log = logging.getLogger(__name__)
 class CohortArrays:
     patient_ids: list
     arrays: dict  # str -> np.ndarray, all leading dim N
+    # where the CT resample actually ran ('host'/'device'; None = no imaging):
+    # recorded into fold .meta.json so scoring-time ingest can be pinned to
+    # the training-time path (host vs device agree only to ~2e-5)
+    ingest_mode: str | None = None
     index: dict = field(init=False)
 
     def __post_init__(self):
@@ -107,6 +111,7 @@ def build_cohort_arrays(
     use_pallas: bool = False,
     prefetcher=None,
     hu_window=None,
+    resample: str | None = None,
 ) -> CohortArrays:
     """Build the fixed-shape array set for one cohort.
 
@@ -144,15 +149,18 @@ def build_cohort_arrays(
         arrays["event"][i] = float(row.survival_status)
         arrays["svalid"][i] = float(bool(row.has_survival))
 
+    ingest_mode = None
     if with_image:
-        _fill_images(arrays, table, image_shape, use_pallas, prefetcher,
-                     hu_window=hu_window)
+        ingest_mode = _fill_images(arrays, table, image_shape, use_pallas,
+                                   prefetcher, hu_window=hu_window,
+                                   resample=resample)
 
-    return CohortArrays(patient_ids=pids, arrays=arrays)
+    return CohortArrays(patient_ids=pids, arrays=arrays,
+                        ingest_mode=ingest_mode)
 
 
 def _fill_images(arrays, table, image_shape, use_pallas, prefetcher,
-                 hu_window=None):
+                 hu_window=None, resample: str | None = None):
     """Default ingest path: GIL-free C++ NIfTI decode on a thread pool,
     overlapped with shape-BUCKETED on-device resample+normalize (one XLA
     compile per shape bucket instead of one per distinct CT shape)."""
@@ -166,7 +174,8 @@ def _fill_images(arrays, table, image_shape, use_pallas, prefetcher,
         if bool(row.has_imaging) and row.nifti_path
     ]
     for i, vol in prefetcher.run(jobs, image_shape, use_pallas,
-                                 hu_window=hu_window):
+                                 hu_window=hu_window, resample=resample):
         if vol is not None:
             arrays["image"][i, ..., 0] = vol
             arrays["mask"][i, 0] = 1.0
+    return prefetcher.last_mode

@@ -31,18 +31,44 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _SO.exists():
+    for attempt in ("load", "rebuild"):
+        if attempt == "rebuild" or not _SO.exists():
+            # -B on the retry: the .so exists but predates a symbol this
+            # build binds (stale checkout) — make alone would consider it
+            # up to date only if sources were untouched, so force it.
+            cmd = ["make", "-C", str(_CSRC)]
+            if attempt == "rebuild":
+                cmd.append("-B")
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+            except Exception as e:
+                log.info("native build unavailable (%s); using pure-Python "
+                         "I/O", e)
+                return None
         try:
-            subprocess.run(["make", "-C", str(_CSRC)], check=True,
-                           capture_output=True, timeout=120)
-        except Exception as e:
-            log.info("native build unavailable (%s); using pure-Python I/O", e)
+            lib = ctypes.CDLL(str(_SO))
+            _bind(lib)
+        except OSError as e:
+            log.info("native load failed (%s); using pure-Python I/O", e)
             return None
-    try:
-        lib = ctypes.CDLL(str(_SO))
-    except OSError as e:
-        log.info("native load failed (%s); using pure-Python I/O", e)
-        return None
+        except AttributeError as e:
+            # Stale libmsp_native.so from an older checkout: a symbol this
+            # version binds is missing. Rebuild once, then degrade to the
+            # pure-Python path (the module contract) instead of raising.
+            if attempt == "rebuild":
+                log.info("native library stale after rebuild (%s); using "
+                         "pure-Python I/O", e)
+                return None
+            log.info("native library stale (%s); rebuilding", e)
+            continue
+        _lib = lib
+        return _lib
+    return None
+
+
+def _bind(lib):
+    """Declare ctypes signatures; raises AttributeError on a stale .so."""
     lib.msp_nifti_open.restype = ctypes.c_void_p
     lib.msp_nifti_open.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
@@ -72,8 +98,6 @@ def _load():
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_float, ctypes.c_float]
-    _lib = lib
-    return _lib
 
 
 def native_available() -> bool:

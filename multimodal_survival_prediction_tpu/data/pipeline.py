@@ -145,6 +145,12 @@ class VolumePrefetcher:
         )
 
         mode = resample or self.resample
+        if mode == "auto" and use_pallas:
+            # An explicit device-kernel request (e.g. pinned by a checkpoint's
+            # .meta.json) must not be silently rerouted to the host kernel:
+            # host and device outputs agree only to float tolerance, and
+            # scoring-time preprocessing must match training-time.
+            mode = "device"
         out_shape = tuple(out_shape)
 
         def preprocess_volume(vol, shape, use_pallas):
@@ -213,13 +219,25 @@ class VolumePrefetcher:
                     yield i, None
                     mode = "device"
                 else:
-                    transfer_sec = vol.nbytes / probe_link_bandwidth()
-                    mode = "host" if host_sec < transfer_sec else "device"
-                    log.info(
-                        "resample auto-select: %s (host %.0f ms/vol vs link "
-                        "transfer %.0f ms/vol at %.1f MB/s)", mode,
-                        host_sec * 1e3, transfer_sec * 1e3,
-                        probe_link_bandwidth() / 1e6)
+                    try:
+                        bw = probe_link_bandwidth()
+                    except Exception as e:
+                        # A failed probe must not abort the cohort ingest
+                        # (failure->missing-modality is the module contract
+                        # for per-volume errors; for the probe, degrade to
+                        # the round-2 default path instead).
+                        log.warning("link bandwidth probe failed (%s); "
+                                    "using device resample", e)
+                        bw = None
+                    if bw is None:
+                        mode = "device"
+                    else:
+                        transfer_sec = vol.nbytes / bw
+                        mode = "host" if host_sec < transfer_sec else "device"
+                        log.info(
+                            "resample auto-select: %s (host %.0f ms/vol vs "
+                            "link transfer %.0f ms/vol at %.1f MB/s)", mode,
+                            host_sec * 1e3, transfer_sec * 1e3, bw / 1e6)
                     if mode == "host":
                         first_result = (i, host_out)
                     else:

@@ -173,9 +173,16 @@ def cox_partial_likelihood_sharded(
         hazard, time, event, valid = (
             hazard[order], time[order], event[order], valid[order])
     elif ties == "efron":
-        # Efron's segments key on time equality; normalize invalid rows'
-        # times the same way so presorted callers match the engine path
-        time = jnp.where(valid > 0, time, -jnp.inf)
+        # Efron's segments key on contiguous runs of equal time. Invalid rows
+        # carry no mass (hazards masked, events zeroed) but their POSITION
+        # could still split a run, so give each one the nearest preceding
+        # valid time — cummin works because valid times are descending; rows
+        # before any valid become their own zero-mass +inf segment. This
+        # keeps 'globally sorted by time descending' sufficient even when a
+        # presorted caller left invalid rows interleaved at their raw times
+        # (ops.cox._sort_desc_by_time order, invalids last, also satisfies
+        # it: its trailing rows then inherit the last valid time).
+        time = jax.lax.cummin(jnp.where(valid > 0, time, jnp.inf))
 
     @partial(
         jax.shard_map,

@@ -56,7 +56,8 @@ class FoldOutcome:
 
 
 def prepare_cv_data(cfg: ModelRunConfig, table: pd.DataFrame, rnaseq_csv=None,
-                    use_pallas_resample: bool = False, hu_window=None):
+                    use_pallas_resample: bool = False, hu_window=None,
+                    resample: str | None = None):
     """Cohort selection + array build + seed-42 KFold splits.
 
     Shared by the sequential driver below and the fold-parallel driver
@@ -81,7 +82,7 @@ def prepare_cv_data(cfg: ModelRunConfig, table: pd.DataFrame, rnaseq_csv=None,
     arrays = build_cohort_arrays(
         cohort, rnaseq_df, with_image="image" in cfg.modalities,
         image_shape=cfg.image_shape, use_pallas=use_pallas_resample,
-        hu_window=hu_window,
+        hu_window=hu_window, resample=resample,
     )
 
     # Survival-labeled vs unlabeled split (partial-modality fold trick)
@@ -350,6 +351,7 @@ def run_cross_validation(
                 image_shape=list(cfg.image_shape), rna_dim=rna_dim,
                 hu_window=(list(hu_window) if hu_window else None),
                 use_pallas_resample=use_pallas_resample, ties=cfg.ties,
+                resample_mode=getattr(arrays, "ingest_mode", None),
                 best_epoch=best_epoch, best_c_index=float(best_c))
 
         outcome = FoldOutcome(

@@ -408,6 +408,7 @@ def run_cross_validation_parallel(
                 image_shape=list(cfg.image_shape), rna_dim=rna_dim,
                 hu_window=(list(hu_window) if hu_window else None),
                 use_pallas_resample=use_pallas_resample, ties=cfg.ties,
+                resample_mode=getattr(arrays, "ingest_mode", None),
                 best_epoch=int(best_epoch[k]), best_c_index=float(best_c[k]))
         outcomes.append(FoldOutcome(
             fold=k + 1, best_c_index=float(best_c[k]),

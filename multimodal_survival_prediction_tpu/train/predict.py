@@ -62,6 +62,11 @@ def predict_risk(
         hu_window = tuple(meta["hu_window"])
     if use_pallas is None:
         use_pallas = bool(meta.get("use_pallas_resample", False))
+    # Pin scoring-time resample PLACEMENT (host C++ vs device XLA/Pallas) to
+    # the training-time path when the checkpoint recorded it: the two agree
+    # only to ~2e-5, and 'auto' re-probes the link per process, so without
+    # the pin risk scores could vary with link weather.
+    resample_mode = meta.get("resample_mode")
     if meta.get("image_shape") and tuple(meta["image_shape"]) != tuple(
             cfg.image_shape):
         import dataclasses
@@ -83,7 +88,7 @@ def predict_risk(
     arrays = build_cohort_arrays(
         cohort, rnaseq_df, with_image="image" in cfg.modalities,
         image_shape=cfg.image_shape, use_pallas=use_pallas,
-        hu_window=hu_window)
+        hu_window=hu_window, resample=resample_mode)
 
     model, batch_to_inputs, hazard_and_aux = make_model_and_adapters(
         cfg, backbone=backbone)

@@ -98,7 +98,6 @@ def main():
     spread = max(seed_means.values()) - min(seed_means.values())
     inside = (min(seed_means.values()) - 1e-9 <= j_mean
               <= max(seed_means.values()) + 1e-9)
-    jpath.write_text(json.dumps(payload, indent=2))
 
     para = (
         "Torch oracle CV mean at different init seeds (identical splits): "
@@ -111,14 +110,22 @@ def main():
     )
     md = out_dir / "PARITY_TWIN_FLAGSHIP.md"
     text = md.read_text()
-    # replace the seed-spread paragraph inside the tagged section only
-    sec_start = text.index(f"## {args.tag} run (appended)")
+    # Validate BOTH patches before writing EITHER file: a missing/renamed
+    # tagged section must not leave the JSON recording a seed the markdown
+    # narrative does not mention.
+    heading = f"## {args.tag} run (appended)"
+    sec_start = text.find(heading)
+    if sec_start < 0:
+        raise SystemExit(f"tagged section {heading!r} not found in "
+                         "PARITY_TWIN_FLAGSHIP.md; nothing written")
     section = text[sec_start:]
     new_section, n = re.subn(
         r"Torch oracle CV mean at different init seeds[^\n]*\n",
         para + "\n", section, count=1)
     if n != 1:
-        raise SystemExit("seed-spread paragraph not found in tagged section")
+        raise SystemExit("seed-spread paragraph not found in tagged section; "
+                         "nothing written")
+    jpath.write_text(json.dumps(payload, indent=2))
     md.write_text(text[:sec_start] + new_section)
     print(f"[extend-parity] patched {jpath.name} + PARITY_TWIN_FLAGSHIP.md: "
           f"{para}")

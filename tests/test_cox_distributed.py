@@ -179,6 +179,27 @@ def test_sharded_efron_unsorted_with_padding(mesh):
     assert got == pytest.approx(ref, abs=2e-5)
 
 
+def test_sharded_efron_presorted_invalid_interleaved(mesh):
+    """presorted=True with invalid rows INTERLEAVED at their raw times (legal
+    under the documented 'globally sorted by time descending' contract) must
+    not split tie groups: invalid rows inherit the nearest preceding valid
+    time, so the loss matches the single-axis Efron on the valid subset."""
+    rng = np.random.default_rng(11)
+    n = 64
+    hazard = rng.normal(size=n).astype(np.float32)
+    time = rng.integers(1, 4, size=n).astype(np.float32)  # heavy ties
+    event = (rng.uniform(size=n) < 0.6).astype(np.float32)
+    event[:2] = 1.0
+    valid = (rng.uniform(size=n) < 0.75).astype(np.float32)
+    valid[:2] = 1.0
+    order = np.argsort(-time, kind="stable")  # raw-time sort: invalids
+    h, t, e, v = (x[order] for x in (hazard, time, event, valid))  # interleave
+    ref = float(cox_partial_likelihood(h, t, e, valid=v, ties="efron"))
+    got = float(cox_partial_likelihood_sharded(
+        h, t, e, mesh, valid=v, presorted=True, ties="efron"))
+    assert got == pytest.approx(ref, abs=2e-5)
+
+
 def test_engine_sharded_risk_set_efron_matches_default(mesh):
     """Trainer(sharded_risk_set=True) with cfg.ties='efron' must match the
     default all-gather Efron path on a tied cohort."""

@@ -172,6 +172,108 @@ def test_volume_prefetcher_auto_probe_resample_failure(tmp_path, rng,
         assert got[i].shape == (8, 8, 8)
 
 
+def test_volume_prefetcher_auto_probe_bandwidth_failure(tmp_path, rng,
+                                                        monkeypatch):
+    """A link-bandwidth probe that RAISES must fall back to the device path
+    for the whole cohort (probe volume included), not abort the ingest."""
+    if not native_available():
+        pytest.skip("native library unavailable")
+    from multimodal_survival_prediction_tpu.data import pipeline
+
+    def boom(nbytes=0):
+        raise TimeoutError("tunnel wedged")
+
+    monkeypatch.setattr(pipeline, "probe_link_bandwidth", boom)
+    jobs = []
+    for i in range(3):
+        vol = rng.integers(-500, 2000, size=(12, 14, 16), dtype=np.int16)
+        p = tmp_path / f"b{i}.nii.gz"
+        write_nifti(p, vol)
+        jobs.append((i, str(p)))
+    pre = VolumePrefetcher(num_workers=2)
+    got = dict(pre.run(jobs, (8, 8, 8), resample="auto"))
+    assert pre.last_mode == "device"
+    for i in range(3):
+        assert got[i] is not None and got[i].shape == (8, 8, 8)
+
+
+def test_volume_prefetcher_auto_pallas_request_forces_device(tmp_path, rng,
+                                                             monkeypatch):
+    """use_pallas=True is an explicit device-kernel request (e.g. pinned by a
+    checkpoint's .meta.json): auto mode must not reroute it to the host C++
+    kernel, and must not even probe the link."""
+    if not native_available():
+        pytest.skip("native library unavailable")
+    from multimodal_survival_prediction_tpu.data import pipeline
+
+    def fail_probe(nbytes=0):
+        raise AssertionError("probe must not run when use_pallas pins device")
+
+    monkeypatch.setattr(pipeline, "probe_link_bandwidth", fail_probe)
+    jobs = []
+    for i in range(2):
+        vol = rng.integers(-500, 2000, size=(12, 14, 16), dtype=np.int16)
+        p = tmp_path / f"p{i}.nii.gz"
+        write_nifti(p, vol)
+        jobs.append((i, str(p)))
+    pre = VolumePrefetcher(num_workers=2)
+    got = dict(pre.run(jobs, (8, 8, 8), use_pallas=True, resample="auto"))
+    assert pre.last_mode == "device"
+    for i in range(2):
+        assert got[i] is not None and got[i].shape == (8, 8, 8)
+
+
+def test_stale_native_library_rebuilds_then_degrades(monkeypatch):
+    """A libmsp_native.so from an older checkout (missing a symbol this
+    version binds) must trigger ONE forced rebuild and then degrade to the
+    pure-Python path — never raise AttributeError out of _load()."""
+    import multimodal_survival_prediction_tpu.data.native as native_mod
+
+    class Stale:
+        def __getattr__(self, name):
+            raise AttributeError(f"undefined symbol: {name}")
+
+    calls = []
+
+    def fake_run(cmd, **kw):
+        calls.append(list(cmd))
+
+    monkeypatch.setattr(native_mod.ctypes, "CDLL", lambda path: Stale())
+    monkeypatch.setattr(native_mod.subprocess, "run", fake_run)
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_tried", False)
+    assert native_mod._load() is None
+    assert any("-B" in c for c in calls)  # forced rebuild was attempted
+
+
+def test_cohort_ingest_mode_recorded(tmp_path, rng):
+    """build_cohort_arrays records which resample path filled the images —
+    the fact fold .meta.json pins so scoring-time ingest matches training."""
+    if not native_available():
+        pytest.skip("native library unavailable")
+    import pandas as pd
+
+    from multimodal_survival_prediction_tpu.data.datasets import (
+        build_cohort_arrays,
+    )
+
+    vol = rng.integers(-500, 2000, size=(12, 14, 16), dtype=np.int16)
+    p = tmp_path / "m0.nii.gz"
+    write_nifti(p, vol)
+    table = pd.DataFrame([{
+        "patient_id": "P0", "age": 60.0, "survival_time": 100.0,
+        "survival_status": 1.0, "has_survival": True,
+        "has_imaging": True, "nifti_path": str(p)}])
+    a_host = build_cohort_arrays(table, None, with_image=True,
+                                 image_shape=(8, 8, 8), resample="host")
+    assert a_host.ingest_mode == "host"
+    a_dev = build_cohort_arrays(table, None, with_image=True,
+                                image_shape=(8, 8, 8), resample="device")
+    assert a_dev.ingest_mode == "device"
+    a_none = build_cohort_arrays(table, None, with_image=False)
+    assert a_none.ingest_mode is None
+
+
 def test_probe_link_bandwidth_watchdog(monkeypatch):
     """A stalled device_get (the axon fresh-process quirk: bare transfers
     block until the first compiled program runs) must not hang the probe —
