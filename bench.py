@@ -4,13 +4,18 @@
 
 Primary metric (round 3): flagship training epoch throughput in patients/sec
 at the AT-SCALE batch — partial-modality gated DenseNet121-3D, 64x64x32 CT,
-5,005-gene RNA, fused fwd + Cox/gate losses + bwd + Adam, bf16, **bs=32**
-(608-patient epoch = exactly 19 steps). bs=32 is the chip-efficiency
-configuration: measured live (value-fenced) at 58.99 steps/s = 12.8% MFU
-and 1,888 patients/s, vs ~7.5% MFU at the reference's own bs=8 — the
-program is HBM-bound (round-2 roofline), so the parity batch size, not the
-hardware, set the bs=8 number. bs=8 remains available for continuity via
-BENCH_BS8=1.
+5,005-gene RNA, fused fwd + Cox/gate losses + bwd + Adam, bf16, **bs=128**.
+bs=128 is the measured batch-scaling sweet spot (probe_batch_scaling.py,
+idle-machine confirmed 2026-08-17): 24.24 steps/s = 21.0% MFU and 3,103
+patients/s program throughput, vs 13.6% MFU at bs=32 and ~7.5% at the
+reference's own bs=8 — the program is HBM-bound (docs/PERF.md roofline), so
+batch is the chip-efficiency knob (bs=152, the largest exact divisor of the
+608-patient epoch, is anomalously SLOW: XLA pads non-power-of-two batches).
+The headline value is EPOCH-adjusted: 608 patients take ceil(608/128)=5
+steps (the engine cycles padding on the ragged last batch), so epoch
+patients/s = steps/s * 608/5 — 5% below the program's steady-state rate,
+charged honestly. bs=32 / bs=8 remain available for round-2/3 continuity
+via BENCH_BS32=1 / BENCH_BS8=1.
 
 Also emitted:
   * flops_per_step + mfu_pct from compiled.cost_analysis() against the v5e
@@ -28,6 +33,8 @@ Also emitted:
     path amortizes dispatch/Python overhead (its win over the sequential
     driver) but cannot batch the MXU like bs=32 does; docs/PERF.md.
   * BENCH_BS8=1 (opt-in): the round-2 single-fold bs=8 chunk.
+  * BENCH_BS32=1 (opt-in): the round-3 bs=32 chunk (58.99 steps/s = 12.8%
+    MFU measured live 2026-08-17), for continuity with BENCH_r03 history.
   * BENCH_FP32=1 (opt-in): fp32 variant of the headline.
   * BENCH_SCAN_EPOCH=1 (opt-in) or automatic when the remaining
     wall-clock budget allows: the production whole-epoch lax.scan path.
@@ -68,7 +75,7 @@ CACHE = Path(__file__).resolve().parent / "BENCH_BASELINE_CACHE.json"
 N_PATIENTS = 608  # flagship epoch size (348 labeled + 260 unlabeled)
 N_IMAGING = 142
 BATCH = 8           # reference flagship batch size (per fold)
-HEADLINE_BATCH = 32  # at-scale batch: 608 = 19 steps exactly; 12.8% MFU live
+HEADLINE_BATCH = 128  # at-scale batch: measured scaling sweet spot, 21% MFU
 FOLDS = 5         # reference flagship n_folds (shipped results; SURVEY §2.13)
 IMAGE_SHAPE = (64, 64, 32)
 RNA_DIM = 5005
@@ -94,6 +101,9 @@ PINNED_FLOPS = {
     # for folds > 1 this is the WHOLE vmapped step across all folds)
     ("bf16", 1, 8, (64, 64, 32), 5005): 106805780480.0,   # derived 2026-08-16
     ("bf16", 1, 32, (64, 64, 32), 5005): 427531010048.0,  # derived 2026-08-17
+    # derived live 2026-08-17 via benchmarks/probe_batch_scaling.py (the
+    # scan-chunk cost analysis counts the body once, i.e. per-step)
+    ("bf16", 1, 128, (64, 64, 32), 5005): 1705442672640.0,
     # 5-fold vmapped step, derived live on the v5e 2026-08-17 (~19% above
     # 5x the single-fold pin: XLA schedules the per-fold grouped convs
     # differently than five separate steps)
@@ -446,11 +456,20 @@ def main():
 
     import jax.numpy as jnp
 
-    hl = _try("train_bs32_bf16", measure_train_steps_per_sec,
+    hl = _try(f"train_bs{HEADLINE_BATCH}_bf16", measure_train_steps_per_sec,
               dtype=jnp.bfloat16, folds=1, batch=HEADLINE_BATCH)
     steps, flops, flops_src = hl if hl else (None, None, None)
     print(f"[bench] train bf16 bs={HEADLINE_BATCH}: {steps} steps/s "
           f"({flops} flops/step)", file=sys.stderr)
+
+    bs32_steps, bs32_flops, bs32_src = None, None, None
+    if os.environ.get("BENCH_BS32") == "1":
+        # opt-in: the round-3 bs=32 headline program, for continuity
+        r = _try("train_bs32_bf16", measure_train_steps_per_sec,
+                 dtype=jnp.bfloat16, folds=1, batch=32)
+        bs32_steps, bs32_flops, bs32_src = r if r else (None, None, None)
+        print(f"[bench] single-fold bs32 bf16: {bs32_steps} steps/s",
+              file=sys.stderr)
 
     fold_steps, fold_flops, fold_src = None, None, None
     if os.environ.get("BENCH_FOLD_PARALLEL") == "1":
@@ -507,27 +526,38 @@ def main():
         }
 
     if (steps is None and fp32_steps is None and bs8_steps is None
-            and fold_steps is None):
+            and bs32_steps is None and fold_steps is None):
         print(json.dumps({
             "metric": "partial_modality_epoch_throughput", "value": 0.0,
             "unit": "patients/s", "vs_baseline": 0.0, "errors": errors}))
         return
 
-    # 608-patient epoch = exactly 19 steps at bs=32 ->
-    # patients/s = steps/s * batch (same identity at bs=8: 76 steps)
+    def _epoch_patients_per_sec(steps_per_sec, batch):
+        # Epoch throughput: the 608-patient epoch takes ceil(608/batch)
+        # steps — the engine cycles padding on the ragged last batch, so a
+        # non-dividing batch (bs=128: 5 steps for 608) is charged for its
+        # padding. Equals steps/s * batch when batch divides 608.
+        return steps_per_sec * N_PATIENTS / -(-N_PATIENTS // batch)
+
     # The headline_* / flops / mfu fields always describe the program that
     # actually carried the headline (the fallbacks differ in dtype AND batch).
     headline_dtype = "bf16"
     headline_batch = HEADLINE_BATCH
     if steps is not None:
-        our_patients_per_sec = steps * HEADLINE_BATCH
+        our_patients_per_sec = _epoch_patients_per_sec(steps, HEADLINE_BATCH)
         headline_program = f"bs{HEADLINE_BATCH}_bf16"
         h_steps, h_flops, h_src = steps, flops, flops_src
     elif fp32_steps is not None:
-        our_patients_per_sec = fp32_steps * HEADLINE_BATCH
+        our_patients_per_sec = _epoch_patients_per_sec(
+            fp32_steps, HEADLINE_BATCH)
         headline_dtype = "fp32"
         headline_program = f"bs{HEADLINE_BATCH}_fp32"
         h_steps, h_flops, h_src = fp32_steps, fp32_flops, fp32_src
+    elif bs32_steps is not None:
+        our_patients_per_sec = bs32_steps * 32  # 608 = 19 steps exactly
+        headline_program = "bs32_bf16"
+        headline_batch = 32
+        h_steps, h_flops, h_src = bs32_steps, bs32_flops, bs32_src
     elif fold_steps is not None:
         our_patients_per_sec = fold_steps * FOLDS * BATCH
         headline_program = "fold_parallel_bf16"
@@ -584,10 +614,13 @@ def main():
         "fold_parallel_patients_per_sec": (
             round(fold_steps * FOLDS * BATCH, 3) if fold_steps else None),
         "fold_parallel_mfu_pct": _mfu(fold_steps, fold_flops),
-        # round-2 continuity fields (BENCH_BS8=1)
+        # round-2/3 continuity fields (BENCH_BS8=1 / BENCH_BS32=1)
         "bs8_train_steps_per_sec_bf16": (round(bs8_steps, 3)
                                          if bs8_steps else None),
         "bs8_mfu_pct": _mfu(bs8_steps, bs8_flops),
+        "bs32_train_steps_per_sec_bf16": (round(bs32_steps, 3)
+                                          if bs32_steps else None),
+        "bs32_mfu_pct": _mfu(bs32_steps, bs32_flops),
         # transfer-aware preprocess (same selection rule as data/pipeline.py)
         "preprocess_vols_per_sec": pre.get("vols_per_sec"),
         "preprocess_path": pre.get("selected"),
