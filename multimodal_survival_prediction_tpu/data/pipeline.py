@@ -27,6 +27,7 @@ import logging
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
@@ -259,11 +260,27 @@ class VolumePrefetcher:
                 for i, out in pool.map(decode_and_host_resample, jobs):
                     yield i, out
                 return
-            decoded = pool.map(decode, jobs)
-            # device-side resample pipeline, depth-limited so at most `depth`
-            # volumes are in flight (decode of N+1 overlaps resample of N)
+            # device-side resample pipeline, depth-limited on BOTH sides:
+            # at most `depth` resamples in flight on the device, and at most
+            # num_workers + depth decode futures outstanding on the host —
+            # Executor.map would submit every job eagerly, and on a slow
+            # link the decode workers outrun the consumer, buffering the
+            # whole cohort's raw ~80 MB volumes in host RAM.
+            job_iter = iter(jobs)
+            futures: deque = deque()
+
+            def _submit_more():
+                while len(futures) < self.num_workers + self.depth:
+                    job = next(job_iter, None)
+                    if job is None:
+                        break
+                    futures.append(pool.submit(decode, job))
+
+            _submit_more()
             inflight: list = []
-            for i, vol in decoded:
+            while futures:
+                i, vol = futures.popleft().result()
+                _submit_more()
                 if vol is None:
                     yield i, None
                     continue

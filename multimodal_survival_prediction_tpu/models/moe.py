@@ -57,8 +57,18 @@ class GatingNetwork(nn.Module):
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = nn.relu(TorchLinear(64, dtype=self.dtype, name="fc1")(x))
         logits = TorchLinear(3, dtype=self.dtype, name="fc2")(x)
-        logits = jnp.where(mask == 0, -jnp.inf, logits)
-        return nn.softmax(logits, axis=-1)
+        # Finite fill, not -inf: for rows with >=1 available modality the
+        # masked entries still underflow to exactly 0 after softmax
+        # (exp(-1e30 - max) == 0 in f32), but an ALL-missing row would make
+        # softmax(-inf,-inf,-inf) = NaN — and one NaN hazard poisons the
+        # whole batch's Cox cumlogsumexp. Such rows are plausible in the
+        # real cohort (labeled patient with no CT, no RNA, no age).
+        logits = jnp.where(mask == 0, -1e30, logits)
+        gates = nn.softmax(logits, axis=-1)
+        # all-missing row: zero the gates so the fused feature / ensemble
+        # hazard is a constant for that patient instead of uniform garbage
+        has_any = jnp.sum(mask, axis=-1, keepdims=True) > 0
+        return jnp.where(has_any, gates, 0.0)
 
 
 class SimMLMSurvivalNet(nn.Module):

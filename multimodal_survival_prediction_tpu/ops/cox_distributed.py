@@ -30,7 +30,7 @@ float tolerance, gradients included).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -184,6 +184,20 @@ def cox_partial_likelihood_sharded(
         # it: its trailing rows then inherit the last valid time).
         time = jax.lax.cummin(jnp.where(valid > 0, time, jnp.inf))
 
+    return _sharded_loss_fn(mesh, axis_name, ties, eps)(
+        hazard, event, time, valid)
+
+
+@lru_cache(maxsize=None)
+def _sharded_loss_fn(mesh: Mesh, axis_name: str, ties: str, eps: float):
+    """Jitted shard_map loss, cached on its static config.
+
+    Building (and jitting) a fresh closure per call would make every direct
+    (non-traced) caller retrace and recompile — multi-minute remote compiles
+    on the axon tunnel, uncached (CLAUDE.md). Mesh is hashable, so the
+    executable is reused across calls with the same (mesh, axis, ties, eps).
+    """
+
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -208,4 +222,4 @@ def cox_partial_likelihood_sharded(
 
     # jit the shard_map: the eager transpose path trips a sharding-override
     # assert under jax.grad; under jit GSPMD owns the layout end to end
-    return jax.jit(_loss)(hazard, event, time, valid)
+    return jax.jit(_loss)

@@ -137,15 +137,14 @@ def read_dicom(path) -> DicomSlice:
         # some files omit the preamble; try parsing from 0 (implicit LE)
         meta_end, ts = 0, IMPLICIT_LE
     else:
-        # file meta group: always explicit LE; parse group 0002 only
-        pos = 132
-        meta, _ = _parse_elements(raw, pos, explicit=True,
+        # File meta group: always explicit LE. Find its end FIRST and parse
+        # ONLY group 0002 — parsing the whole file as explicit-VR here would
+        # walk into an implicit-LE dataset misreading payload bytes as VRs
+        # (garbage lengths -> struct.error on a perfectly valid file).
+        meta_end = _find_dataset_start(raw, 132)
+        meta, _ = _parse_elements(raw[:meta_end], 132, explicit=True,
                                   stop_at_pixels=False)
         ts = _decode_str(meta.get(TRANSFER_SYNTAX, EXPLICIT_LE.encode()))
-        # find end of group 0002 by re-walking (cheap files) — simpler: the
-        # parse above consumed everything; re-parse dataset from the first
-        # non-0002 element by scanning.
-        meta_end = _find_dataset_start(raw, 132)
 
     if ts not in (EXPLICIT_LE, IMPLICIT_LE):
         raise NotImplementedError(

@@ -95,8 +95,19 @@ class RiskScorer:
         target = jax.tree_util.tree_map(
             lambda s: np.zeros(s.shape, s.dtype), shapes)
         self.n_folds = len(paths)
-        extras = {k: v for k, v in target.items()
-                  if k not in ("params", "batch_stats")}
+        extra_keys = [k for k in shapes if k not in ("params", "batch_stats")]
+        extras = {}
+        if extra_keys:
+            # Deterministic non-param collections (MMsurvNet 'constants'
+            # count-sketch matrices, models/mmsurv.py:48-57) are not in the
+            # checkpoint and must come from a REAL init — the zeros tree
+            # would silently zero the CBP pathway for every /score request.
+            real = jax.jit(lambda: model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(0)},
+                *self._batch_to_inputs(example), train=False))()
+            extras = {k: jax.tree_util.tree_map(np.asarray, real[k])
+                      for k in extra_keys}
         per_fold = []
         for p in paths:
             restored = load_checkpoint(Path(p), {
@@ -121,7 +132,7 @@ class RiskScorer:
         def apply_one(variables, batch):
             out = model.apply(variables, *self._batch_to_inputs(batch),
                               train=False)
-            hazard, _ = self._hazard_and_aux(out, batch)
+            hazard = self._hazard_and_aux(out, batch)[0]  # 2- or 3-tuple
             return hazard
 
         # Transfer-aware input layout: every non-image array is PACKED into

@@ -367,6 +367,21 @@ def run_cross_validation(
         jax.profiler.stop_trace()
 
     elapsed = _time.monotonic() - t_start
+    payload = build_and_write_cv_payload(
+        cfg, outcomes, num_epochs, int(arrays.n), results_dir,
+        write_outputs=write_outputs)
+    log.info("[%s] CV done: %.1fs, %d steps, %.2f steps/s", name, elapsed,
+             total_steps, total_steps / max(elapsed, 1e-9))
+    return payload, outcomes
+
+
+def build_and_write_cv_payload(cfg, outcomes, num_epochs, dataset_size,
+                               results_dir, write_outputs=True):
+    """fold_results + reference-schema hyperparameters -> write_cv_results.
+
+    Shared verbatim by the sequential driver above and the fold-parallel
+    driver (cv_parallel.py) so their advertised schema-identical results
+    files cannot drift (they were previously two copy-pasted blocks)."""
     fold_results = []
     for o in outcomes:
         fr = {"fold": o.fold, "best_c_index": o.best_c_index,
@@ -393,13 +408,10 @@ def run_cross_validation(
         hyper["mofe_lambda"] = cfg.mofe_lambda
 
     extra = {"n_folds": cfg.n_folds, "num_epochs": num_epochs,
-             "dataset_size": int(arrays.n)}
-    payload = None
-    if write_outputs:
-        payload = write_cv_results(
-            Path(results_dir) / name, cfg.display_name, fold_results,
-            hyperparameters=hyper, extra=extra,
-            legacy=(name == "image_only"))
-    log.info("[%s] CV done: %.1fs, %d steps, %.2f steps/s", name, elapsed,
-             total_steps, total_steps / max(elapsed, 1e-9))
-    return payload, outcomes
+             "dataset_size": dataset_size}
+    if not write_outputs:
+        return None
+    return write_cv_results(
+        Path(results_dir) / cfg.name, cfg.display_name, fold_results,
+        hyperparameters=hyper, extra=extra,
+        legacy=(cfg.name == "image_only"))

@@ -49,9 +49,12 @@ import pandas as pd
 
 from ..config import ModelRunConfig
 from ..io.checkpoint import save_checkpoint, save_fold_meta
-from ..io.results import write_cv_results
 from .adapters import make_model_and_adapters
-from .cv import FoldOutcome, prepare_cv_data
+from .cv import (
+    FoldOutcome,
+    build_and_write_cv_payload,
+    prepare_cv_data,
+)
 from .engine import TrainConfig, Trainer, TrainState
 from .schedules import ReduceLROnPlateau, cosine_annealing
 
@@ -419,38 +422,9 @@ def run_cross_validation_parallel(
                  name, k + 1, best_c[k], best_epoch[k])
 
     elapsed = _time.monotonic() - t_start
-    fold_results = []
-    for o in outcomes:
-        fr = {"fold": o.fold, "best_c_index": o.best_c_index,
-              "best_epoch": o.best_epoch, "train_size": o.train_size,
-              "val_size": o.val_size}
-        if o.train_survival_size is not None:
-            fr["train_survival_size"] = o.train_survival_size
-        fold_results.append(fr)
-
-    hyper = {
-        "batch_size": cfg.batch_size,
-        "learning_rate": cfg.learning_rate,
-    }
-    if cfg.stage1_epochs:
-        hyper["stage1_epochs"] = cfg.stage1_epochs
-        hyper["stage2_epochs"] = num_epochs
-    else:
-        hyper["epochs"] = num_epochs
-    hyper["n_folds"] = cfg.n_folds
-    if cfg.gate_entropy_weight:
-        hyper["gate_entropy_weight"] = cfg.gate_entropy_weight
-    if cfg.mofe_lambda:
-        hyper["mofe_lambda"] = cfg.mofe_lambda
-
-    extra = {"n_folds": cfg.n_folds, "num_epochs": num_epochs,
-             "dataset_size": int(arrays.n)}
-    payload = None
-    if write_outputs:
-        payload = write_cv_results(
-            Path(results_dir) / name, cfg.display_name, fold_results,
-            hyperparameters=hyper, extra=extra,
-            legacy=(name == "image_only"))
+    payload = build_and_write_cv_payload(
+        cfg, outcomes, num_epochs, int(arrays.n), results_dir,
+        write_outputs=write_outputs)
     log.info("[%s parallel] CV done: %.1fs, %d steps (%d folds in flight), "
              "%.2f steps/s", name, elapsed, total_steps, k_pad,
              total_steps / max(elapsed, 1e-9))

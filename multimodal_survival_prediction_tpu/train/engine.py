@@ -296,7 +296,9 @@ class Trainer:
             batch = self._gather_batch(data, bidx, bv)
             out = self.model.apply(
                 variables, *self.batch_to_inputs(batch), train=False)
-            hazard, _ = self.hazard_and_aux(out, batch)
+            # adapter may return (hazard, aux) or (hazard, aux, main_scale)
+            # (the contract _loss_fn documents) — index, don't unpack
+            hazard = self.hazard_and_aux(out, batch)[0]
             loss = cox_partial_likelihood(
                 hazard, batch["time"], batch["event"],
                 valid=batch["svalid"], ties=self.cfg.ties)
@@ -317,7 +319,7 @@ class Trainer:
                          **self._extra_collections}
             out = self.model.apply(
                 variables, *self.batch_to_inputs(batch), train=False)
-            hazard, _ = self.hazard_and_aux(out, batch)
+            hazard = self.hazard_and_aux(out, batch)[0]  # 2- or 3-tuple
             loss = cox_partial_likelihood(
                 hazard, batch["time"], batch["event"],
                 valid=batch["svalid"], ties=self.cfg.ties)

@@ -107,13 +107,28 @@ def predict_risk(
             *batch_to_inputs(ex), train=False))
     target = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, s.dtype), shapes)
+    extra_keys = [k for k in shapes if k not in ("params", "batch_stats")]
+    extras = {}
+    if extra_keys:
+        # Non-param collections (e.g. MMsurvNet's 'constants' count-sketch
+        # matrices, models/mmsurv.py:48-57) are NOT stored in fold
+        # checkpoints, and an eval_shape zeros tree would silently zero the
+        # pathway they feed (zero sketch matrices -> CBP output identically
+        # 0). They are deterministic fixed-seed values, so one real init
+        # reproduces exactly what training used.
+        real = jax.jit(lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(0)},
+            *batch_to_inputs(ex), train=False))()
+        extras = {k: jax.tree_util.tree_map(np.asarray, real[k])
+                  for k in extra_keys}
 
     # variables as an ARGUMENT: one compiled scorer serves every fold
     # checkpoint of an ensemble (identical param shapes).
     @jax.jit
     def score(variables, batch):
         out = model.apply(variables, *batch_to_inputs(batch), train=False)
-        hazard, _ = hazard_and_aux(out, batch)
+        hazard = hazard_and_aux(out, batch)[0]  # 2- or 3-tuple adapters
         return hazard
 
     per_ckpt = np.empty((len(paths), n), np.float32)
@@ -122,9 +137,7 @@ def predict_risk(
             "params": target["params"],
             "batch_stats": target.get("batch_stats", {})})
         variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"],
-                     **{k: v for k, v in target.items()
-                        if k not in ("params", "batch_stats")}}
+                     "batch_stats": restored["batch_stats"], **extras}
         for start in range(0, n, batch_size):
             end = min(start + batch_size, n)
             idx = np.arange(start, end)

@@ -24,6 +24,42 @@ def test_dicom_slice_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(sl.pixels, px.astype(np.float32) * 2 - 1024)
 
 
+def test_dicom_implicit_le_with_preamble(tmp_path, rng):
+    """A preamble file whose DATASET is implicit-VR-LE (transfer syntax
+    1.2.840.10008.1.2 — common for TCGA CT) must be readable: the group-0002
+    meta walk has to stop at the dataset boundary instead of misparsing
+    implicit payload bytes as explicit VRs (garbage lengths -> struct.error
+    on a valid file)."""
+    import struct
+
+    from multimodal_survival_prediction_tpu.preprocess import dicom as d
+
+    px = rng.integers(-1000, 2000, size=(8, 10)).astype(np.int16)
+
+    def imp(tag, value):
+        if len(value) % 2:
+            value += b"\x00"
+        return struct.pack("<HHI", tag[0], tag[1], len(value)) + value
+
+    def exp(tag, vr, value):  # explicit VR (file meta group is always so)
+        if len(value) % 2:
+            value += b"\x00"
+        return struct.pack("<HH2sH", tag[0], tag[1], vr, len(value)) + value
+
+    meta = exp(d.TRANSFER_SYNTAX, b"UI", d.IMPLICIT_LE.encode())
+    body = b"".join([
+        imp(d.ROWS, struct.pack("<H", px.shape[0])),
+        imp(d.COLS, struct.pack("<H", px.shape[1])),
+        imp(d.BITS_ALLOCATED, struct.pack("<H", 16)),
+        imp(d.PIXEL_REPRESENTATION, struct.pack("<H", 1)),
+        imp(d.PIXEL_DATA, px.tobytes()),
+    ])
+    p = tmp_path / "imp.dcm"
+    p.write_bytes(b"\x00" * 128 + b"DICM" + meta + body)
+    sl = d.read_dicom(p)
+    np.testing.assert_allclose(sl.pixels, px.astype(np.float32))
+
+
 def test_series_assembly_sorts_by_position(tmp_path, rng):
     # write slices in shuffled order; positions give the true order
     vols = rng.integers(-100, 100, size=(5, 16, 16)).astype(np.int16)

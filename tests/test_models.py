@@ -144,6 +144,23 @@ def test_simmlm_masked_gate(batch):
     assert experts.shape == (B, 3)
 
 
+def test_simmlm_gate_all_missing_row_is_finite(batch):
+    """A patient with NO modalities (mask [0,0,0] — plausible in the real
+    cohort: labeled but no CT, no RNA, no age) must yield zero gates and a
+    FINITE hazard: a softmax over an all-(-inf) row is NaN, and one NaN
+    hazard poisons the whole batch's Cox cumlogsumexp."""
+    model = SimMLMSurvivalNet(backbone="simple_cnn")
+    mask = jnp.asarray([[0, 0, 0], [1, 1, 1]], jnp.float32)
+    inputs = (batch["image"], batch["rnaseq"], batch["clinical"], mask)
+    variables = _init(model, *inputs)
+    ens, experts, gates = model.apply(variables, *inputs, train=False)
+    g = np.asarray(gates)
+    np.testing.assert_array_equal(g[0], 0.0)  # all-missing -> zero gates
+    np.testing.assert_allclose(g[1].sum(), 1.0, atol=1e-5)
+    assert np.all(np.isfinite(np.asarray(ens)))
+    assert np.all(np.isfinite(np.asarray(experts)))
+
+
 def test_torch_linear_init_bounds():
     """TorchLinear init must match U(-1/sqrt(fan_in), +1/sqrt(fan_in))."""
     from multimodal_survival_prediction_tpu.models.layers import TorchLinear

@@ -54,6 +54,74 @@ def test_train_then_predict(tmp_path):
     assert not np.allclose(ens.risk_score.values, pred.risk_score.values)
 
 
+def test_predict_mmsurv_restores_constants(tmp_path):
+    """MMsurvNet's 'constants' count-sketch matrices (models/mmsurv.py) are
+    not stored in fold checkpoints; predict_risk must reproduce them with a
+    real init. Scoring with a zeros tree instead silently zeroes the whole
+    CBP pathway — scores then differ from the trained model with no error."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.config import MMSURV
+    from multimodal_survival_prediction_tpu.data.datasets import (
+        build_cohort_arrays,
+        load_rnaseq_matrix,
+        select_cohort,
+    )
+    from multimodal_survival_prediction_tpu.io.checkpoint import (
+        load_checkpoint,
+    )
+    from multimodal_survival_prediction_tpu.train.adapters import (
+        make_model_and_adapters,
+    )
+
+    spec = SyntheticCohortSpec(n_patients=14, rna_dim=30, seed=9,
+                               p_imaging=1.0, p_rnaseq=1.0,
+                               image_shapes=((20, 24, 24),))
+    table, paths = generate_synthetic_cohort(tmp_path, spec)
+    cfg = MMSURV.with_overrides(n_folds=2, batch_size=4,
+                                image_shape=(16, 16, 8))
+    run_cross_validation(
+        cfg, table, rnaseq_csv=paths["rnaseq_csv"],
+        results_dir=tmp_path / "results", models_dir=tmp_path / "models",
+        backbone="simple_cnn", num_epochs=1)
+    ckpt = tmp_path / "models" / "mmsurv" / "fold_1_best.msgpack"
+    pred = predict_risk(cfg, ckpt, table, rnaseq_csv=paths["rnaseq_csv"],
+                        labeled_only=False)
+
+    # oracle: restored weights + REAL init non-param collections, applied
+    # directly (cohort built identically, so row order matches)
+    cohort = select_cohort(table, cfg.name)
+    rnaseq_df = load_rnaseq_matrix(paths["rnaseq_csv"])
+    arrays = build_cohort_arrays(cohort, rnaseq_df, with_image=True,
+                                 image_shape=cfg.image_shape)
+    model, batch_to_inputs, _ = make_model_and_adapters(
+        cfg, rna_dim=arrays.arrays["rnaseq"].shape[1], backbone="simple_cnn")
+    data = {k: jnp.asarray(v) for k, v in arrays.arrays.items()}
+    data["valid"] = data["svalid"]
+    real = model.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(0)},
+                      *batch_to_inputs(data), train=False)
+    assert "constants" in real  # the collection this test is about
+    restored = load_checkpoint(ckpt, {
+        "params": real["params"], "batch_stats": real["batch_stats"]})
+    variables = {"params": restored["params"],
+                 "batch_stats": restored["batch_stats"],
+                 "constants": real["constants"]}
+    oracle = np.asarray(
+        model.apply(variables, *batch_to_inputs(data), train=False))
+    assert pred.patient_id.tolist() == arrays.patient_ids
+    np.testing.assert_allclose(pred.risk_score.values, oracle, atol=1e-5)
+
+    # and zeroed constants must CHANGE the scores — proving the pathway is
+    # live and the zeros-tree regression would have been visible here
+    zeroed = {**variables, "constants": jax.tree_util.tree_map(
+        jnp.zeros_like, real["constants"])}
+    h0 = np.asarray(
+        model.apply(zeroed, *batch_to_inputs(data), train=False))
+    assert not np.allclose(h0, oracle, atol=1e-5)
+
+
 def test_predict_hu_window(tmp_path):
     """predict_risk must apply the same HU window the checkpoint was trained
     with: windowed vs unwindowed scoring of an image model produces different

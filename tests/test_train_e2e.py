@@ -431,3 +431,44 @@ def test_efron_ties_mode_end_to_end(cohort, tmp_path):
     he = [h["train_loss"] for h in o_e[0].history]
     assert np.all(np.isfinite(hb)) and np.all(np.isfinite(he))
     assert hb != he  # ties actually engage the Efron correction
+
+
+def test_eval_with_stage1_three_tuple_adapter():
+    """Trainer.evaluate must accept adapters returning (hazard, aux,
+    main_scale) — the SimMLM stage-1 contract the loss path already handles
+    — not just 2-tuples (the eval scan used to unpack exactly two values
+    and crashed on a stage-1 trainer)."""
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.models import SimMLMSurvivalNet
+    from multimodal_survival_prediction_tpu.train.adapters import (
+        simmlm_stage1_adapter,
+    )
+    from multimodal_survival_prediction_tpu.train.engine import (
+        TrainConfig,
+        Trainer,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 16
+    data = {
+        "image": rng.normal(size=(n, 8, 8, 8, 1)).astype(np.float32),
+        "rnaseq": rng.normal(size=(n, 20)).astype(np.float32),
+        "clinical": rng.normal(size=(n, 1)).astype(np.float32),
+        "mask": np.ones((n, 3), np.float32),
+        "time": rng.exponential(300.0, size=n).astype(np.float32),
+        "event": (rng.uniform(size=n) < 0.7).astype(np.float32),
+        "svalid": np.ones(n, np.float32),
+    }
+    data["valid"] = data["svalid"]
+    model = SimMLMSurvivalNet(backbone="simple_cnn")
+    tr = Trainer(
+        model,
+        lambda b: (b["image"], b["rnaseq"], b["clinical"], b["mask"]),
+        simmlm_stage1_adapter(), TrainConfig(batch_size=8))
+    example = {k: v[:8] for k, v in data.items()}
+    state = tr.init_state(example, fold=1)
+    dev = {k: jnp.asarray(v) for k, v in data.items()}
+    cindex, loss, hazards = tr.evaluate(state, dev, np.arange(n))
+    assert np.isfinite(loss) and hazards.shape == (n,)
+    assert 0.0 <= cindex <= 1.0
