@@ -38,6 +38,10 @@ sys.path.insert(0, str(REPO_ROOT))
 
 
 def main():
+    import logging
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s")
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--tag", required=True)
     p.add_argument("--seeds", required=True,
