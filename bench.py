@@ -88,6 +88,42 @@ PEAK_FLOPS = {"tpu": 197e12}  # v5e bf16 peak (per chip)
 BUDGET_SEC = float(os.environ.get("BENCH_BUDGET_SEC", "480"))
 SCAN_EPOCH_EST_SEC = 700  # ~10+ min of remote compiles + run (docs/PERF.md)
 
+# Hard deadline for the ONE-JSON-LINE invariant. A DOWN axon tunnel blocks
+# the process's FIRST backend use (jax.default_backend / jax.devices) for
+# ~25 minutes before erroring (observed 2026-08-17, CLAUDE.md) — without a
+# watchdog that silently eats the driver's whole budget and no JSON line is
+# ever printed. Each opt-in phase is its own multi-minute remote compile, so
+# the default deadline grows with the number of enabled opt-ins.
+_OPT_INS = ("BENCH_BS32", "BENCH_BS8", "BENCH_FOLD_PARALLEL", "BENCH_FP32",
+            "BENCH_SCAN_EPOCH")
+WATCHDOG_SEC = float(os.environ.get(
+    "BENCH_WATCHDOG_SEC",
+    str(540 + 360 * sum(os.environ.get(v) == "1" for v in _OPT_INS))))
+
+
+def _start_watchdog(deadline_sec: float):
+    """Daemon timer: emit the failure JSON and hard-exit if main() wedges.
+
+    Runs in a thread so it fires even while the main thread is stuck inside
+    PJRT backend init (a C-level poll loop Python signal handlers may never
+    interrupt). ``os._exit`` because a wedged runtime cannot be unwound.
+    """
+    import threading
+
+    def _fire():  # pragma: no cover - only fires on a wedged backend
+        print(json.dumps({
+            "metric": "partial_modality_epoch_throughput", "value": 0.0,
+            "unit": "patients/s", "vs_baseline": 0.0,
+            "errors": [f"watchdog: bench did not complete within "
+                       f"{deadline_sec:.0f}s (BENCH_WATCHDOG_SEC) — TPU "
+                       "tunnel down or pathologically slow"]}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(deadline_sec, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
 
 # FLOPs per train step from compiled.cost_analysis() of the exact programs
 # below, derived live on the v5e (jax on the axon backend) — a static
@@ -434,6 +470,8 @@ def reference_baseline(refresh=False):
 def main():
     import traceback
 
+    watchdog = _start_watchdog(WATCHDOG_SEC)
+
     import jax
 
     backend = jax.default_backend()
@@ -527,6 +565,7 @@ def main():
 
     if (steps is None and fp32_steps is None and bs8_steps is None
             and bs32_steps is None and fold_steps is None):
+        watchdog.cancel()
         print(json.dumps({
             "metric": "partial_modality_epoch_throughput", "value": 0.0,
             "unit": "patients/s", "vs_baseline": 0.0, "errors": errors}))
@@ -636,6 +675,7 @@ def main():
     }
     if errors:
         result["errors"] = errors
+    watchdog.cancel()
     print(json.dumps(result))
 
 

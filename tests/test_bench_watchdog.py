@@ -1,0 +1,35 @@
+"""bench.py's one-JSON-line invariant must hold even when the backend wedges.
+
+A down axon tunnel blocks the process's FIRST backend use for ~25 minutes
+before erroring (observed 2026-08-17, CLAUDE.md quirks) — far beyond the
+driver's bench budget. The watchdog thread must emit the failure JSON and
+hard-exit regardless of where the main thread is stuck.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_bench_watchdog_emits_json_and_exits(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""  # CLAUDE.md: never inherit into children
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # fire long before the CPU-backend train phase could ever finish
+    env["BENCH_WATCHDOG_SEC"] = "1"
+    r = subprocess.run(
+        [sys.executable, str(REPO_ROOT / "bench.py")],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path))  # cwd elsewhere: must not depend on repo CWD
+    assert r.returncode == 3, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1, r.stdout
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "partial_modality_epoch_throughput"
+    assert payload["value"] == 0.0
+    assert "watchdog" in payload["errors"][0]
