@@ -146,7 +146,12 @@ def build_cohort_arrays(
             arrays["mask"][i, 2] = 1.0
         t = row.survival_time
         arrays["time"][i] = 0.0 if pd.isna(t) else float(t)
-        arrays["event"][i] = float(row.survival_status)
+        # NaN-guard like `time`: the loss masks invalid rows by MULTIPLYING
+        # event by svalid (ops/cox.py), and 0 * NaN is NaN — one unlabeled
+        # row with a NaN status in a user-supplied table would poison every
+        # batch containing it.
+        ev = row.survival_status
+        arrays["event"][i] = 0.0 if pd.isna(ev) else float(ev)
         arrays["svalid"][i] = float(bool(row.has_survival))
 
     ingest_mode = None

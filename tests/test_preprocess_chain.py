@@ -89,3 +89,24 @@ def test_raw_to_training_arrays(tmp_path, rng):
     # images normalized to [0, 1]
     imaged = arrays.arrays["mask"][:, 0] > 0
     assert arrays.arrays["image"][imaged].max() <= 1.0 + 1e-5
+
+
+def test_nan_survival_status_does_not_poison_arrays():
+    """An unlabeled row with a NaN survival_status (plausible in a
+    user-supplied table) must become event=0.0 — the Cox loss masks invalid
+    rows by MULTIPLYING event by svalid, and 0 * NaN is NaN, so one such row
+    would poison every batch containing it."""
+    table = pd.DataFrame([
+        {"patient_id": "P1", "age": 60.0, "survival_time": 400.0,
+         "survival_status": 1.0, "has_survival": True,
+         "has_rnaseq": False, "has_imaging": False},
+        {"patient_id": "P2", "age": np.nan, "survival_time": np.nan,
+         "survival_status": np.nan, "has_survival": False,
+         "has_rnaseq": False, "has_imaging": False},
+    ])
+    arrays = build_cohort_arrays(table, None, with_image=False)
+    a = arrays.arrays
+    np.testing.assert_array_equal(a["event"], [1.0, 0.0])
+    np.testing.assert_array_equal(a["svalid"], [1.0, 0.0])
+    for k, v in a.items():
+        assert np.isfinite(v).all(), k
