@@ -1,0 +1,169 @@
+"""Reference-named torch models: state_dict-key-exact twins for import tests.
+
+`benchmarks/torch_reference.py` builds architecture-identical torch nets for
+THROUGHPUT baselines; their `nn.Sequential` key layout differs from the
+reference's. These twins reproduce the reference's exact module NAMES so
+their ``state_dict()`` keys match what a real reference checkpoint contains:
+
+  * ``RNASeqSurvivalModel`` — keys ``mlp.{0,1,4,5,8,9,12}.*``
+    (reference train_rnaseq_only.py:126-151).
+  * ``PartialModalityNet`` — keys ``ct_encoder.features.denseblock{b}.
+    denselayer{l}.layers.{norm1,conv1,norm2,conv2}.*`` etc. (the MONAI
+    ``DenseNet121(spatial_dims=3)`` layout used at reference
+    partial_modality_training.py:171-176) plus ``rna_encoder.{0,1,4}.*``,
+    ``clinical_encoder.0.*``, ``gate.{0,2}.*``, ``fusion.{0,1,4}.*``,
+    ``cox_head.*`` (reference :196-232). ``use_monai=False`` swaps the CT
+    encoder for the reference's Sequential fallback (:179-191).
+
+Benchmark/test harness only — the framework itself contains no torch.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+
+def _monai_densenet121_3d(out_channels=128):
+    """MONAI DenseNet121(spatial_dims=3, in_channels=1) with MONAI's exact
+    module names (monai.networks.nets.densenet key layout)."""
+    import torch
+    import torch.nn as nn
+
+    class DenseLayer(nn.Module):
+        def __init__(self, in_ch, growth, bn_size):
+            super().__init__()
+            self.layers = nn.Sequential(OrderedDict([
+                ("norm1", nn.BatchNorm3d(in_ch)),
+                ("relu1", nn.ReLU(inplace=True)),
+                ("conv1", nn.Conv3d(in_ch, bn_size * growth, 1, bias=False)),
+                ("norm2", nn.BatchNorm3d(bn_size * growth)),
+                ("relu2", nn.ReLU(inplace=True)),
+                ("conv2", nn.Conv3d(bn_size * growth, growth, 3, padding=1,
+                                    bias=False)),
+            ]))
+
+        def forward(self, x):
+            return torch.cat([x, self.layers(x)], 1)
+
+    class DenseBlock(nn.Sequential):
+        def __init__(self, in_ch, n_layers, growth, bn_size):
+            super().__init__()
+            for i in range(n_layers):
+                self.add_module(f"denselayer{i + 1}",
+                                DenseLayer(in_ch + i * growth, growth,
+                                           bn_size))
+
+    class Transition(nn.Sequential):
+        def __init__(self, in_ch, out_ch):
+            super().__init__(OrderedDict([
+                ("norm", nn.BatchNorm3d(in_ch)),
+                ("relu", nn.ReLU(inplace=True)),
+                ("conv", nn.Conv3d(in_ch, out_ch, 1, bias=False)),
+                ("pool", nn.AvgPool3d(2)),
+            ]))
+
+    class DenseNet121(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(OrderedDict([
+                ("conv0", nn.Conv3d(1, 64, 7, stride=2, padding=3,
+                                    bias=False)),
+                ("norm0", nn.BatchNorm3d(64)),
+                ("relu0", nn.ReLU(inplace=True)),
+                ("pool0", nn.MaxPool3d(3, stride=2, padding=1)),
+            ]))
+            ch = 64
+            for bi, n in enumerate((6, 12, 24, 16)):
+                self.features.add_module(f"denseblock{bi + 1}",
+                                         DenseBlock(ch, n, 32, 4))
+                ch += n * 32
+                if bi != 3:
+                    self.features.add_module(f"transition{bi + 1}",
+                                             Transition(ch, ch // 2))
+                    ch //= 2
+            self.features.add_module("norm5", nn.BatchNorm3d(ch))
+            self.class_layers = nn.Sequential(OrderedDict([
+                ("relu", nn.ReLU(inplace=True)),
+                ("pool", nn.AdaptiveAvgPool3d(1)),
+                ("flatten", nn.Flatten(1)),
+                ("out", nn.Linear(ch, out_channels)),
+            ]))
+
+        def forward(self, x):
+            return self.class_layers(self.features(x))
+
+    return DenseNet121()
+
+
+def build_reference_named_partial_modality(rna_dim=5005, clinical_dim=1,
+                                           use_monai=True):
+    """The reference's PartialModalityNet with its exact attribute names
+    (partial_modality_training.py:165-277): encoders on raw inputs, feature
+    masking, gate over [features ‖ mask], gate-weighted fusion, Cox head."""
+    import torch
+    import torch.nn as nn
+
+    class PartialModalityNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            if use_monai:
+                self.ct_encoder = _monai_densenet121_3d(128)
+            else:
+                # the reference's MONAI-less fallback (:179-191)
+                self.ct_encoder = nn.Sequential(
+                    nn.Conv3d(1, 32, 3, stride=2, padding=1),
+                    nn.BatchNorm3d(32), nn.ReLU(),
+                    nn.Conv3d(32, 64, 3, stride=2, padding=1),
+                    nn.BatchNorm3d(64), nn.ReLU(),
+                    nn.Conv3d(64, 128, 3, stride=2, padding=1),
+                    nn.BatchNorm3d(128), nn.ReLU(),
+                    nn.AdaptiveAvgPool3d(1),
+                )
+            self.rna_encoder = nn.Sequential(
+                nn.Linear(rna_dim, 512), nn.BatchNorm1d(512), nn.ReLU(),
+                nn.Dropout(0.3), nn.Linear(512, 128), nn.ReLU())
+            self.clinical_encoder = nn.Sequential(
+                nn.Linear(clinical_dim, 32), nn.ReLU())
+            self.gate = nn.Sequential(
+                nn.Linear(128 + 128 + 32 + 3, 64), nn.ReLU(),
+                nn.Linear(64, 3), nn.Softmax(dim=1))
+            self.fusion = nn.Sequential(
+                nn.Linear(288, 256), nn.BatchNorm1d(256), nn.ReLU(),
+                nn.Dropout(0.3), nn.Linear(256, 128), nn.ReLU())
+            self.cox_head = nn.Linear(128, 1)
+
+        def forward(self, ct, rna, clinical, mask):
+            ct_feat = self.ct_encoder(ct)
+            if ct_feat.dim() > 2:
+                ct_feat = ct_feat.flatten(1)
+            f = [ct_feat * mask[:, 0:1],
+                 self.rna_encoder(rna) * mask[:, 1:2],
+                 self.clinical_encoder(clinical) * mask[:, 2:3]]
+            g = self.gate(torch.cat(f + [mask], 1))
+            fused = torch.cat([f[0] * g[:, 0:1], f[1] * g[:, 1:2],
+                               f[2] * g[:, 2:3]], 1)
+            return self.cox_head(self.fusion(fused)).squeeze(1), g
+
+    return PartialModalityNet()
+
+
+def build_reference_named_rnaseq(rna_dim=5005, hidden=(1024, 512, 256)):
+    """The reference's RNASeqSurvivalModel with its exact ``mlp`` attribute
+    (train_rnaseq_only.py:126-151)."""
+    import torch.nn as nn
+
+    class RNASeqSurvivalModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers, in_dim = [], rna_dim
+            for h in hidden:
+                layers += [nn.Linear(in_dim, h), nn.BatchNorm1d(h),
+                           nn.ReLU(), nn.Dropout(0.3)]
+                in_dim = h
+            layers.append(nn.Linear(in_dim, 1))
+            self.mlp = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.mlp(x)
+
+    return RNASeqSurvivalModel()

@@ -1,0 +1,277 @@
+"""Import the reference's trained torch checkpoints into this framework.
+
+The reference saves plain ``model.state_dict()`` files per fold (reference
+partial_modality_training.py:556, train_rnaseq_only.py:286). A user
+migrating from the reference can convert those ``.pth`` files into this
+framework's checkpoint format and score/serve/analyze them with every
+existing tool (predict_risk, RiskScorer, generate_km_curves) — no retraining.
+
+Supported model families (verified against live torch oracles in
+tests/test_torch_import.py):
+
+  * ``rnaseq_only`` — reference ``RNASeqSurvivalModel`` (MLP
+    5005→1024→512→256→1, train_rnaseq_only.py:126-151; keys ``mlp.{i}.*``).
+  * ``partial_modality`` (flagship) — reference ``PartialModalityNet``
+    (partial_modality_training.py:165-232) with either CT backbone:
+    the MONAI ``DenseNet121(spatial_dims=3)`` encoder
+    (keys ``ct_encoder.features.denseblock*.denselayer*...``) or the
+    MONAI-less simple-CNN fallback (keys ``ct_encoder.{0,3,6}.*``).
+
+Weight-layout conventions translated:
+  * torch ``nn.Linear`` weight is (out, in); flax ``Dense`` kernel is
+    (in, out) → transpose.
+  * torch ``nn.Conv3d`` weight is (out, in, D, H, W); flax ``Conv`` kernel
+    is (D, H, W, in, out) → transpose (2, 3, 4, 1, 0).
+  * torch BatchNorm ``weight``/``bias`` → flax ``scale``/``bias`` (params);
+    ``running_mean``/``running_var`` → ``mean``/``var`` (batch_stats).
+    ``num_batches_tracked`` is torch bookkeeping and is dropped.
+
+MONAI vs torchvision DenseNet naming: MONAI nests each dense layer's
+modules under ``.layers.`` (``denselayer1.layers.norm1``); torchvision does
+not. ``_normalize_key`` strips the ``.layers.`` segment so both load.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# DenseNet121 structure constants (models/densenet3d.py defaults; MONAI
+# DenseNet121(spatial_dims=3, in_channels=1, out_channels=128)).
+_DN_BLOCKS = (6, 12, 24, 16)
+
+
+def load_torch_state_dict(path) -> dict:
+    """Read a ``.pth`` state_dict into a {key: np.ndarray} dict.
+
+    Accepts both a bare state_dict and the common ``{"state_dict": ...}``
+    wrapping; strips a ``module.`` DataParallel prefix if present. torch is
+    imported lazily — the framework itself contains no torch; this importer
+    is the explicit migration boundary.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj and all(
+            not torch.is_tensor(v) for k, v in obj.items()
+            if k == "state_dict"):
+        obj = obj["state_dict"]
+    return {
+        (k[len("module."):] if k.startswith("module.") else k):
+            v.detach().cpu().numpy()
+        for k, v in obj.items()
+    }
+
+
+def _normalize_key(k: str) -> str:
+    return k.replace(".layers.", ".")
+
+
+def _index(sd: dict) -> dict:
+    return {_normalize_key(k): np.asarray(v) for k, v in sd.items()}
+
+
+class _Missing(KeyError):
+    pass
+
+
+def _take(sd: dict, key: str) -> np.ndarray:
+    try:
+        return sd.pop(key)
+    except KeyError:
+        raise _Missing(
+            f"torch checkpoint is missing {key!r} — wrong --model family "
+            "or backbone for this state_dict?") from None
+
+
+def _linear(sd, prefix):
+    """torch nn.Linear -> flax Dense param dict."""
+    out = {"kernel": np.ascontiguousarray(_take(sd, f"{prefix}.weight").T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _take(sd, f"{prefix}.bias")
+    return out
+
+
+def _conv3d(sd, prefix):
+    """torch nn.Conv3d -> flax Conv param dict (channels-last kernel)."""
+    w = _take(sd, f"{prefix}.weight")
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _take(sd, f"{prefix}.bias")
+    return out
+
+
+def _bn(sd, prefix):
+    """torch BatchNorm -> (flax params, flax batch_stats)."""
+    params = {"scale": _take(sd, f"{prefix}.weight"),
+              "bias": _take(sd, f"{prefix}.bias")}
+    stats = {"mean": _take(sd, f"{prefix}.running_mean"),
+             "var": _take(sd, f"{prefix}.running_var")}
+    sd.pop(f"{prefix}.num_batches_tracked", None)
+    return params, stats
+
+
+def _densenet121(sd, prefix="ct_encoder"):
+    """MONAI DenseNet121(spatial_dims=3) state_dict -> flax DenseNet121_3D
+    (models/densenet3d.py) params/batch_stats subtrees."""
+    p, s = {}, {}
+    p["conv0"] = {"conv": _conv3d(sd, f"{prefix}.features.conv0")}
+    p["norm0"], s["norm0"] = ({"bn": x} for x in
+                              _bn(sd, f"{prefix}.features.norm0"))
+    for bi, n_layers in enumerate(_DN_BLOCKS):
+        for li in range(n_layers):
+            tp = f"{prefix}.features.denseblock{bi + 1}.denselayer{li + 1}"
+            name = f"block{bi}_layer{li}"
+            n1p, n1s = _bn(sd, f"{tp}.norm1")
+            n2p, n2s = _bn(sd, f"{tp}.norm2")
+            p[name] = {"norm1": {"bn": n1p},
+                       "conv1": {"conv": _conv3d(sd, f"{tp}.conv1")},
+                       "norm2": {"bn": n2p},
+                       "conv2": {"conv": _conv3d(sd, f"{tp}.conv2")}}
+            s[name] = {"norm1": {"bn": n1s}, "norm2": {"bn": n2s}}
+        if bi != len(_DN_BLOCKS) - 1:
+            tp = f"{prefix}.features.transition{bi + 1}"
+            np_, ns_ = _bn(sd, f"{tp}.norm")
+            p[f"transition{bi}"] = {"norm": {"bn": np_},
+                                    "conv": {"conv": _conv3d(sd, f"{tp}.conv")}}
+            s[f"transition{bi}"] = {"norm": {"bn": ns_}}
+    p["norm5"], s["norm5"] = ({"bn": x} for x in
+                              _bn(sd, f"{prefix}.features.norm5"))
+    # MONAI head: class_layers = relu/pool/flatten/out; flax: Dense "head"
+    p["head"] = _linear(sd, f"{prefix}.class_layers.out")
+    return p, s
+
+
+def _simple_cnn(sd, prefix="ct_encoder"):
+    """Reference MONAI-less fallback encoder (Sequential Conv/BN/ReLU x3 +
+    pool, partial_modality_training.py:179-191) -> flax SimpleCNN3D."""
+    p, s = {}, {}
+    for i, seq in enumerate((0, 3, 6)):
+        p[f"conv{i}"] = {"conv": _conv3d(sd, f"{prefix}.{seq}")}
+        bnp, bns = _bn(sd, f"{prefix}.{seq + 1}")
+        p[f"bn{i}"] = {"bn": bnp}
+        s[f"bn{i}"] = {"bn": bns}
+    return p, s
+
+
+def import_rnaseq_state_dict(state_dict: dict) -> dict:
+    """Reference RNASeqSurvivalModel state_dict -> flax variables for
+    models/rnaseq.py:RNASeqSurvivalModel (hidden (1024, 512, 256))."""
+    sd = _index(state_dict)
+    params, stats = {}, {}
+    for i in range(3):
+        bnp, bns = _bn(sd, f"mlp.{4 * i + 1}")
+        params[f"block{i}"] = {
+            "linear": {"dense": _linear(sd, f"mlp.{4 * i}")},
+            "norm": {"bn": bnp}}
+        stats[f"block{i}"] = {"norm": {"bn": bns}}
+    params["head"] = {"dense": _linear(sd, "mlp.12")}
+    _assert_consumed(sd)
+    return {"params": params, "batch_stats": stats}
+
+
+def import_partial_modality_state_dict(state_dict: dict,
+                                       backbone: str = "densenet121") -> dict:
+    """Reference PartialModalityNet state_dict -> flax variables for
+    models/gated.py:PartialModalityNet(backbone=...)."""
+    sd = _index(state_dict)
+    params, stats = {}, {}
+
+    if backbone == "densenet121":
+        dn_p, dn_s = _densenet121(sd, "ct_encoder")
+        params["ct_encoder"] = {"densenet": dn_p}
+        stats["ct_encoder"] = {"densenet": dn_s}
+    elif backbone == "simple_cnn":
+        cnn_p, cnn_s = _simple_cnn(sd, "ct_encoder")
+        params["ct_encoder"] = {"cnn": cnn_p}
+        stats["ct_encoder"] = {"cnn": cnn_s}
+    else:
+        raise ValueError(f"unknown backbone {backbone!r}")
+
+    rbn_p, rbn_s = _bn(sd, "rna_encoder.1")
+    params["rna_encoder"] = {
+        "block0": {"linear": {"dense": _linear(sd, "rna_encoder.0")},
+                   "norm": {"bn": rbn_p}},
+        "proj": {"dense": _linear(sd, "rna_encoder.4")}}
+    stats["rna_encoder"] = {"block0": {"norm": {"bn": rbn_s}}}
+
+    params["clinical_encoder"] = {
+        "proj": {"dense": _linear(sd, "clinical_encoder.0")}}
+    params["gate0"] = {"dense": _linear(sd, "gate.0")}
+    params["gate1"] = {"dense": _linear(sd, "gate.2")}
+
+    fbn_p, fbn_s = _bn(sd, "fusion.1")
+    params["fusion_block"] = {
+        "linear": {"dense": _linear(sd, "fusion.0")},
+        "norm": {"bn": fbn_p}}
+    stats["fusion_block"] = {"norm": {"bn": fbn_s}}
+    params["fusion_proj"] = {"dense": _linear(sd, "fusion.4")}
+    params["cox_head"] = {"dense": _linear(sd, "cox_head")}
+    _assert_consumed(sd)
+    return {"params": params, "batch_stats": stats}
+
+
+def _assert_consumed(sd: dict) -> None:
+    leftovers = [k for k in sd if not k.endswith("num_batches_tracked")]
+    if leftovers:
+        raise ValueError(
+            "torch state_dict has unmapped keys (wrong model family, or an "
+            f"architecture this importer does not cover): {leftovers[:8]}")
+
+
+_IMPORTERS = {
+    "rnaseq_only": import_rnaseq_state_dict,
+    "partial_modality": import_partial_modality_state_dict,
+}
+
+
+def import_torch_checkpoint(model_name: str, path, backbone: str | None = None):
+    """One-call import: read ``path`` (.pth) and return flax variables.
+
+    Raises KeyError/ValueError with actionable messages on mismatched
+    families/backbones (every torch key must map; every mapped key must
+    exist).
+    """
+    if model_name not in _IMPORTERS:
+        raise ValueError(
+            f"torch import not implemented for {model_name!r} "
+            f"(supported: {sorted(_IMPORTERS)})")
+    sd = load_torch_state_dict(path)
+    if model_name == "partial_modality":
+        if backbone is None:
+            backbone = ("densenet121"
+                        if any("denseblock" in k for k in sd)
+                        else "simple_cnn")
+        return import_partial_modality_state_dict(sd, backbone=backbone), backbone
+    return _IMPORTERS[model_name](sd), None
+
+
+def validate_against_model(variables: dict, model, example_inputs) -> None:
+    """Structure/shape-check imported variables against a real model init.
+
+    Catches silent mis-mappings (a transposed kernel that happens to fit
+    would NOT be caught here — the functional tests cover that; this guards
+    tree structure and every leaf shape)."""
+    import jax
+
+    ref = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           *example_inputs, train=False))
+    ref_flat = {
+        "/".join(str(k.key) for k in path): leaf.shape
+        for path, leaf in jax.tree_util.tree_flatten_with_path(dict(ref))[0]}
+    got_flat = {
+        "/".join(str(k.key) for k in path): np.asarray(leaf).shape
+        for path, leaf in
+        jax.tree_util.tree_flatten_with_path(variables)[0]}
+    missing = sorted(set(ref_flat) - set(got_flat))
+    extra = sorted(set(got_flat) - set(ref_flat))
+    if missing or extra:
+        raise ValueError(
+            f"imported tree mismatch: missing={missing[:6]} extra={extra[:6]}")
+    bad = [k for k in ref_flat if tuple(ref_flat[k]) != tuple(got_flat[k])]
+    if bad:
+        raise ValueError(
+            "imported leaf shape mismatch: "
+            + ", ".join(f"{k}: torch{got_flat[k]} vs model{ref_flat[k]}"
+                        for k in bad[:6]))

@@ -1,0 +1,177 @@
+"""Torch-checkpoint import: reference ``.pth`` state_dicts must load into
+this framework's models and produce the SAME scores the torch model does.
+
+Oracles: ``benchmarks/torch_reference_named.py`` — torch twins whose
+state_dict KEYS exactly match the reference classes (MONAI DenseNet121
+layout for the flagship CT encoder). Each test trains the torch model
+briefly (so weights AND BatchNorm running stats are non-trivial), saves a
+real ``.pth``, imports it, and compares eval-mode forwards."""
+
+import numpy as np
+import pytest
+import torch
+
+from benchmarks.torch_reference_named import (
+    build_reference_named_partial_modality,
+    build_reference_named_rnaseq,
+)
+from multimodal_survival_prediction_tpu.io.torch_import import (
+    import_torch_checkpoint,
+    validate_against_model,
+)
+
+
+def _train_steps(model, make_batch, n_steps=2):
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    model.train()
+    for _ in range(n_steps):
+        opt.zero_grad()
+        out = model(*make_batch())
+        h = out[0] if isinstance(out, tuple) else out
+        h.square().mean().backward()
+        opt.step()
+    model.eval()
+
+
+def test_import_rnaseq_matches_torch_forward(tmp_path):
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    rna_dim, n = 30, 12
+    model = build_reference_named_rnaseq(rna_dim, hidden=(1024, 512, 256))
+    X = rng.normal(size=(n, rna_dim)).astype(np.float32)
+    _train_steps(model, lambda: (torch.asarray(X),))
+    path = tmp_path / "fold_1_best.pth"
+    torch.save(model.state_dict(), path)
+
+    with torch.no_grad():
+        oracle = model(torch.asarray(X)).squeeze(1).numpy()
+
+    variables, backbone = import_torch_checkpoint("rnaseq_only", path)
+    assert backbone is None
+
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.models import RNASeqSurvivalModel
+
+    jmodel = RNASeqSurvivalModel()
+    validate_against_model(variables, jmodel, (jnp.asarray(X),))
+    got = np.asarray(jmodel.apply(variables, jnp.asarray(X), train=False))
+    np.testing.assert_allclose(got, oracle, atol=1e-5)
+
+
+@pytest.mark.parametrize("use_monai,backbone,shape", [
+    (True, "densenet121", (32, 32, 32)),
+    (False, "simple_cnn", (16, 16, 8)),
+])
+def test_import_partial_modality_matches_torch_forward(
+        tmp_path, use_monai, backbone, shape):
+    """Flagship import, both CT backbones. The MONAI case exercises every
+    dense block / transition / head mapping plus the ``.layers.`` key
+    normalization; the fallback case the Sequential-index fallback encoder.
+    Hazards AND gates must match the torch eval forward."""
+    torch.manual_seed(1)
+    rng = np.random.default_rng(1)
+    rna_dim, n = 20, 3
+    model = build_reference_named_partial_modality(
+        rna_dim=rna_dim, use_monai=use_monai)
+    ct = rng.normal(size=(n, 1, *shape)).astype(np.float32)
+    rna = rng.normal(size=(n, rna_dim)).astype(np.float32)
+    clin = rng.normal(size=(n, 1)).astype(np.float32)
+    mask = np.asarray([[1, 1, 1], [0, 1, 1], [1, 0, 1]], np.float32)
+    batch = (torch.asarray(ct), torch.asarray(rna), torch.asarray(clin),
+             torch.asarray(mask))
+    _train_steps(model, lambda: batch, n_steps=1)
+    path = tmp_path / "fold_1_best.pth"
+    torch.save(model.state_dict(), path)
+
+    with torch.no_grad():
+        oracle_h, oracle_g = (x.numpy() for x in model(*batch))
+
+    # backbone auto-detection from the keys
+    variables, detected = import_torch_checkpoint("partial_modality", path)
+    assert detected == backbone
+
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.models import PartialModalityNet
+
+    jmodel = PartialModalityNet(backbone=backbone)
+    # channels-last image for the flax side — same bytes, moved axis
+    jct = jnp.asarray(np.moveaxis(ct, 1, -1))
+    inputs = (jct, jnp.asarray(rna), jnp.asarray(clin), jnp.asarray(mask))
+    validate_against_model(variables, jmodel, inputs)
+    got_h, got_g = jmodel.apply(variables, *inputs, train=False)
+    np.testing.assert_allclose(np.asarray(got_g), oracle_g, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_h), oracle_h, atol=2e-4)
+
+
+def test_import_wrong_family_raises(tmp_path):
+    torch.manual_seed(2)
+    model = build_reference_named_rnaseq(10, hidden=(1024, 512, 256))
+    path = tmp_path / "rna.pth"
+    torch.save(model.state_dict(), path)
+    with pytest.raises((KeyError, ValueError)):
+        import_torch_checkpoint("partial_modality", path)
+
+
+def test_converted_checkpoint_scores_like_torch(tmp_path):
+    """End-to-end migration: .pth -> converter CLI -> predict_risk on a
+    synthetic cohort must reproduce the torch model's eval scores (the full
+    reference-user migration path, no retraining)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    REPO_ROOT = Path(__file__).resolve().parents[1]
+
+    import os
+
+    from multimodal_survival_prediction_tpu.config import RNASEQ_ONLY
+    from multimodal_survival_prediction_tpu.data.datasets import (
+        build_cohort_arrays,
+        load_rnaseq_matrix,
+        select_cohort,
+    )
+    from multimodal_survival_prediction_tpu.data.matching_table import (
+        load_matching_table,
+    )
+    from multimodal_survival_prediction_tpu.data.synthetic import (
+        SyntheticCohortSpec,
+        generate_synthetic_cohort,
+    )
+    from multimodal_survival_prediction_tpu.train.predict import predict_risk
+
+    spec = SyntheticCohortSpec(n_patients=10, rna_dim=25, seed=3,
+                               p_imaging=0.0, p_rnaseq=1.0)
+    table, paths = generate_synthetic_cohort(tmp_path, spec)
+    table = load_matching_table(
+        tmp_path / "data" / "processed" / "full_matching_table.csv")
+    cohort = select_cohort(table, "rnaseq_only")
+    rnaseq_df = load_rnaseq_matrix(paths["rnaseq_csv"])
+    arrays = build_cohort_arrays(cohort, rnaseq_df, with_image=False)
+    X = arrays.arrays["rnaseq"]
+
+    torch.manual_seed(3)
+    model = build_reference_named_rnaseq(X.shape[1], hidden=(1024, 512, 256))
+    _train_steps(model, lambda: (torch.asarray(X),))
+    pth = tmp_path / "fold_1_best.pth"
+    torch.save(model.state_dict(), pth)
+    with torch.no_grad():
+        oracle = model(torch.asarray(X)).squeeze(1).numpy()
+
+    out = tmp_path / "converted" / "fold_1_best.msgpack"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    r = subprocess.run(
+        [sys.executable,
+         str(REPO_ROOT / "scripts" / "tools" / "convert_torch_checkpoint.py"),
+         "--model", "rnaseq_only", "--torch-checkpoint", str(pth),
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and (tmp_path / "converted"
+                             / "fold_1_best.msgpack.meta.json").exists()
+
+    pred = predict_risk(RNASEQ_ONLY, out, table,
+                        rnaseq_csv=paths["rnaseq_csv"], labeled_only=False)
+    np.testing.assert_allclose(pred.risk_score.to_numpy(), oracle, atol=1e-4)
