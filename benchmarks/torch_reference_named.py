@@ -147,6 +147,132 @@ def build_reference_named_partial_modality(rna_dim=5005, clinical_dim=1,
     return PartialModalityNet()
 
 
+def _fallback_cnn(out_ch=128):
+    """The reference's MONAI-less CT encoder (same Sequential in
+    simple_fusion.py:191-204, flexible_multimodal.py:168-181,
+    final_multimodal.py:76-88, partial_modality_training.py:179-191)."""
+    import torch.nn as nn
+
+    return nn.Sequential(
+        nn.Conv3d(1, 32, 3, stride=2, padding=1),
+        nn.BatchNorm3d(32), nn.ReLU(),
+        nn.Conv3d(32, 64, 3, stride=2, padding=1),
+        nn.BatchNorm3d(64), nn.ReLU(),
+        nn.Conv3d(64, out_ch, 3, stride=2, padding=1),
+        nn.BatchNorm3d(out_ch), nn.ReLU(),
+        nn.AdaptiveAvgPool3d(1),
+    )
+
+
+def _rna_deep(rna_dim, out=256):
+    """Reference deep RNA encoder (simple_fusion.py:167-179)."""
+    import torch.nn as nn
+
+    return nn.Sequential(
+        nn.Linear(rna_dim, 1024), nn.BatchNorm1d(1024), nn.ReLU(),
+        nn.Dropout(0.3),
+        nn.Linear(1024, 512), nn.BatchNorm1d(512), nn.ReLU(),
+        nn.Dropout(0.3),
+        nn.Linear(512, out), nn.ReLU())
+
+
+def _fusion_3layer(in_dim):
+    """Reference fusion head (simple_fusion.py:206-215)."""
+    import torch.nn as nn
+
+    return nn.Sequential(
+        nn.Linear(in_dim, 256), nn.BatchNorm1d(256), nn.ReLU(),
+        nn.Dropout(0.3),
+        nn.Linear(256, 128), nn.ReLU(), nn.Dropout(0.2),
+        nn.Linear(128, 1))
+
+
+def build_reference_named_simple_fusion(rna_dim=5005, use_monai=True):
+    """Reference SimpleFusionModel (simple_fusion.py:160-236): deep RNA
+    encoder + CT encoder, cat([rna, img]) -> 3-layer fusion head."""
+    import torch
+    import torch.nn as nn
+
+    class SimpleFusionModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.rna_encoder = _rna_deep(rna_dim, 256)
+            self.image_encoder = (_monai_densenet121_3d(128) if use_monai
+                                  else _fallback_cnn(128))
+            self.fusion = _fusion_3layer(256 + 128)
+
+        def forward(self, image, rnaseq):
+            img = self.image_encoder(image)
+            if img.dim() > 2:
+                img = img.flatten(1)
+            fused = torch.cat([self.rna_encoder(rnaseq), img], 1)
+            return self.fusion(fused).squeeze(1)
+
+    return SimpleFusionModel()
+
+
+def build_reference_named_flexible(rna_dim=5005, use_monai=True):
+    """Reference FlexibleMultimodalModel (flexible_multimodal.py:157-256):
+    learnable missing-modality biases, cat([img, rna]) -> fusion head."""
+    import torch
+    import torch.nn as nn
+
+    class FlexibleMultimodalModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.image_encoder = (_monai_densenet121_3d(128) if use_monai
+                                  else _fallback_cnn(128))
+            self.rna_encoder = _rna_deep(rna_dim, 256)
+            self.missing_image_bias = nn.Parameter(torch.randn(128))
+            self.missing_rna_bias = nn.Parameter(torch.randn(256))
+            self.fusion = _fusion_3layer(128 + 256)
+
+        def forward(self, image, rnaseq, mask):
+            img = self.image_encoder(image)
+            if img.dim() > 2:
+                img = img.flatten(1)
+            rna = self.rna_encoder(rnaseq)
+            im, rm = mask[:, 0:1], mask[:, 1:2]
+            img = img * im + self.missing_image_bias[None, :] * (1 - im)
+            rna = rna * rm + self.missing_rna_bias[None, :] * (1 - rm)
+            return self.fusion(torch.cat([img, rna], 1)).squeeze(1)
+
+    return FlexibleMultimodalModel()
+
+
+def build_reference_named_final(rna_dim=5005, clinical_dim=1, use_monai=True):
+    """Reference MultiModalSurvivalNet (final_multimodal.py:59-150):
+    CT + compact RNA + clinical -> 2-layer fusion -> cox_head."""
+    import torch
+    import torch.nn as nn
+
+    class MultiModalSurvivalNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ct_encoder = (_monai_densenet121_3d(128) if use_monai
+                               else _fallback_cnn(128))
+            self.rna_encoder = nn.Sequential(
+                nn.Linear(rna_dim, 512), nn.BatchNorm1d(512), nn.ReLU(),
+                nn.Dropout(0.3), nn.Linear(512, 128), nn.ReLU())
+            self.clinical_encoder = nn.Sequential(
+                nn.Linear(clinical_dim, 32), nn.ReLU())
+            self.fusion = nn.Sequential(
+                nn.Linear(128 + 128 + 32, 256), nn.BatchNorm1d(256),
+                nn.ReLU(), nn.Dropout(0.3),
+                nn.Linear(256, 128), nn.ReLU())
+            self.cox_head = nn.Linear(128, 1)
+
+        def forward(self, ct, rna, clinical):
+            f = self.ct_encoder(ct)
+            if f.dim() > 2:
+                f = f.flatten(1)
+            fused = torch.cat([f, self.rna_encoder(rna),
+                               self.clinical_encoder(clinical)], 1)
+            return self.cox_head(self.fusion(fused)).squeeze(1)
+
+    return MultiModalSurvivalNet()
+
+
 def build_reference_named_rnaseq(rna_dim=5005, hidden=(1024, 512, 256)):
     """The reference's RNASeqSurvivalModel with its exact ``mlp`` attribute
     (train_rnaseq_only.py:126-151)."""

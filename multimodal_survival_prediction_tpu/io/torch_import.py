@@ -16,6 +16,17 @@ tests/test_torch_import.py):
     the MONAI ``DenseNet121(spatial_dims=3)`` encoder
     (keys ``ct_encoder.features.denseblock*.denselayer*...``) or the
     MONAI-less simple-CNN fallback (keys ``ct_encoder.{0,3,6}.*``).
+  * ``simple_fusion`` — reference ``SimpleFusionModel``
+    (simple_fusion.py:160-236), either backbone.
+  * ``flexible_multimodal`` — reference ``FlexibleMultimodalModel``
+    (flexible_multimodal.py:157-256) incl. the learnable
+    missing-modality bias vectors, either backbone.
+  * ``final`` — reference ``MultiModalSurvivalNet``
+    (final_multimodal.py:59-150), either backbone.
+
+  Not importable: ``image_only`` and ``simmim`` (their training scripts are
+  absent upstream — there is no reference state_dict layout to map);
+  ``mmsurv`` (no reference implementation exists at all).
 
 Weight-layout conventions translated:
   * torch ``nn.Linear`` weight is (out, in); flax ``Dense`` kernel is
@@ -153,6 +164,51 @@ def _simple_cnn(sd, prefix="ct_encoder"):
     return p, s
 
 
+def _rna_deep(sd, prefix="rna_encoder"):
+    """Reference deep RNA encoder (Sequential {0,1,4,5,8}: 5005→1024→512→256,
+    simple_fusion.py:167-179) -> flax RNAEncoderDeep."""
+    p, s = {}, {}
+    for i, seq in enumerate((0, 4)):
+        bnp, bns = _bn(sd, f"{prefix}.{seq + 1}")
+        p[f"block{i}"] = {"linear": {"dense": _linear(sd, f"{prefix}.{seq}")},
+                          "norm": {"bn": bnp}}
+        s[f"block{i}"] = {"norm": {"bn": bns}}
+    p["proj"] = {"dense": _linear(sd, f"{prefix}.8")}
+    return p, s
+
+
+def _rna_compact(sd, prefix="rna_encoder"):
+    """Reference compact RNA encoder (Sequential {0,1,4}: 5005→512→128,
+    final_multimodal.py:94-101) -> flax RNAEncoderCompact."""
+    bnp, bns = _bn(sd, f"{prefix}.1")
+    p = {"block0": {"linear": {"dense": _linear(sd, f"{prefix}.0")},
+                    "norm": {"bn": bnp}},
+         "proj": {"dense": _linear(sd, f"{prefix}.4")}}
+    return p, {"block0": {"norm": {"bn": bns}}}
+
+
+def _fusion_head(sd, prefix="fusion"):
+    """Reference 3-layer fusion head (Sequential {0,1,4,7}: cat→256→128→1,
+    simple_fusion.py:206-215) -> flax _FusionHead."""
+    bnp, bns = _bn(sd, f"{prefix}.1")
+    p = {"block0": {"linear": {"dense": _linear(sd, f"{prefix}.0")},
+                    "norm": {"bn": bnp}},
+         "linear1": {"dense": _linear(sd, f"{prefix}.4")},
+         "out": {"dense": _linear(sd, f"{prefix}.7")}}
+    return p, {"block0": {"norm": {"bn": bns}}}
+
+
+def _image_encoder(sd, prefix, backbone):
+    """Either CT backbone -> flax ImageEncoder subtree ('densenet' / 'cnn')."""
+    if backbone == "densenet121":
+        dn_p, dn_s = _densenet121(sd, prefix)
+        return {"densenet": dn_p}, {"densenet": dn_s}
+    if backbone == "simple_cnn":
+        c_p, c_s = _simple_cnn(sd, prefix)
+        return {"cnn": c_p}, {"cnn": c_s}
+    raise ValueError(f"unknown backbone {backbone!r}")
+
+
 def import_rnaseq_state_dict(state_dict: dict) -> dict:
     """Reference RNASeqSurvivalModel state_dict -> flax variables for
     models/rnaseq.py:RNASeqSurvivalModel (hidden (1024, 512, 256))."""
@@ -176,29 +232,69 @@ def import_partial_modality_state_dict(state_dict: dict,
     sd = _index(state_dict)
     params, stats = {}, {}
 
-    if backbone == "densenet121":
-        dn_p, dn_s = _densenet121(sd, "ct_encoder")
-        params["ct_encoder"] = {"densenet": dn_p}
-        stats["ct_encoder"] = {"densenet": dn_s}
-    elif backbone == "simple_cnn":
-        cnn_p, cnn_s = _simple_cnn(sd, "ct_encoder")
-        params["ct_encoder"] = {"cnn": cnn_p}
-        stats["ct_encoder"] = {"cnn": cnn_s}
-    else:
-        raise ValueError(f"unknown backbone {backbone!r}")
+    params["ct_encoder"], stats["ct_encoder"] = _image_encoder(
+        sd, "ct_encoder", backbone)
 
-    rbn_p, rbn_s = _bn(sd, "rna_encoder.1")
-    params["rna_encoder"] = {
-        "block0": {"linear": {"dense": _linear(sd, "rna_encoder.0")},
-                   "norm": {"bn": rbn_p}},
-        "proj": {"dense": _linear(sd, "rna_encoder.4")}}
-    stats["rna_encoder"] = {"block0": {"norm": {"bn": rbn_s}}}
-
+    params["rna_encoder"], stats["rna_encoder"] = _rna_compact(sd)
     params["clinical_encoder"] = {
         "proj": {"dense": _linear(sd, "clinical_encoder.0")}}
     params["gate0"] = {"dense": _linear(sd, "gate.0")}
     params["gate1"] = {"dense": _linear(sd, "gate.2")}
 
+    fbn_p, fbn_s = _bn(sd, "fusion.1")
+    params["fusion_block"] = {
+        "linear": {"dense": _linear(sd, "fusion.0")},
+        "norm": {"bn": fbn_p}}
+    stats["fusion_block"] = {"norm": {"bn": fbn_s}}
+    params["fusion_proj"] = {"dense": _linear(sd, "fusion.4")}
+    params["cox_head"] = {"dense": _linear(sd, "cox_head")}
+    _assert_consumed(sd)
+    return {"params": params, "batch_stats": stats}
+
+
+def import_simple_fusion_state_dict(state_dict: dict,
+                                    backbone: str = "densenet121") -> dict:
+    """Reference SimpleFusionModel (simple_fusion.py:160-236) -> flax
+    variables for models/fusion.py:SimpleFusionModel."""
+    sd = _index(state_dict)
+    params, stats = {}, {}
+    params["rna_encoder"], stats["rna_encoder"] = _rna_deep(sd)
+    params["image_encoder"], stats["image_encoder"] = _image_encoder(
+        sd, "image_encoder", backbone)
+    params["fusion"], stats["fusion"] = _fusion_head(sd)
+    _assert_consumed(sd)
+    return {"params": params, "batch_stats": stats}
+
+
+def import_flexible_multimodal_state_dict(state_dict: dict,
+                                          backbone: str = "densenet121"
+                                          ) -> dict:
+    """Reference FlexibleMultimodalModel (flexible_multimodal.py:157-256,
+    learnable missing-modality bias vectors) -> flax variables for
+    models/fusion.py:FlexibleMultimodalModel."""
+    sd = _index(state_dict)
+    params, stats = {}, {}
+    params["image_encoder"], stats["image_encoder"] = _image_encoder(
+        sd, "image_encoder", backbone)
+    params["rna_encoder"], stats["rna_encoder"] = _rna_deep(sd)
+    params["missing_image_bias"] = _take(sd, "missing_image_bias")
+    params["missing_rna_bias"] = _take(sd, "missing_rna_bias")
+    params["fusion"], stats["fusion"] = _fusion_head(sd)
+    _assert_consumed(sd)
+    return {"params": params, "batch_stats": stats}
+
+
+def import_final_state_dict(state_dict: dict,
+                            backbone: str = "densenet121") -> dict:
+    """Reference MultiModalSurvivalNet (final_multimodal.py:59-150) -> flax
+    variables for models/fusion.py:MultiModalSurvivalNet."""
+    sd = _index(state_dict)
+    params, stats = {}, {}
+    params["ct_encoder"], stats["ct_encoder"] = _image_encoder(
+        sd, "ct_encoder", backbone)
+    params["rna_encoder"], stats["rna_encoder"] = _rna_compact(sd)
+    params["clinical_encoder"] = {
+        "proj": {"dense": _linear(sd, "clinical_encoder.0")}}
     fbn_p, fbn_s = _bn(sd, "fusion.1")
     params["fusion_block"] = {
         "linear": {"dense": _linear(sd, "fusion.0")},
@@ -221,12 +317,20 @@ def _assert_consumed(sd: dict) -> None:
 _IMPORTERS = {
     "rnaseq_only": import_rnaseq_state_dict,
     "partial_modality": import_partial_modality_state_dict,
+    "simple_fusion": import_simple_fusion_state_dict,
+    "flexible_multimodal": import_flexible_multimodal_state_dict,
+    "final": import_final_state_dict,
 }
+_IMAGE_FAMILIES = frozenset(
+    ("partial_modality", "simple_fusion", "flexible_multimodal", "final"))
 
 
 def import_torch_checkpoint(model_name: str, path, backbone: str | None = None):
-    """One-call import: read ``path`` (.pth) and return flax variables.
+    """One-call import: read ``path`` (.pth) and return
+    ``(flax variables, backbone_or_None)``.
 
+    For image families, ``backbone`` defaults to auto-detection from the
+    keys (``denseblock`` → MONAI DenseNet121, else the Sequential fallback).
     Raises KeyError/ValueError with actionable messages on mismatched
     families/backbones (every torch key must map; every mapped key must
     exist).
@@ -236,12 +340,12 @@ def import_torch_checkpoint(model_name: str, path, backbone: str | None = None):
             f"torch import not implemented for {model_name!r} "
             f"(supported: {sorted(_IMPORTERS)})")
     sd = load_torch_state_dict(path)
-    if model_name == "partial_modality":
+    if model_name in _IMAGE_FAMILIES:
         if backbone is None:
             backbone = ("densenet121"
                         if any("denseblock" in k for k in sd)
                         else "simple_cnn")
-        return import_partial_modality_state_dict(sd, backbone=backbone), backbone
+        return _IMPORTERS[model_name](sd, backbone=backbone), backbone
     return _IMPORTERS[model_name](sd), None
 
 

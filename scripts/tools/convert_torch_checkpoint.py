@@ -15,9 +15,11 @@ directly, no retraining:
       --out models_tpu/partial_modality/fold_1_best.msgpack \\
       --image-shape 64,64,32
 
-Supported: rnaseq_only, partial_modality (DenseNet121 AND the MONAI-less
-simple-CNN fallback, auto-detected from the keys). The import is validated
-structurally against a real model init before anything is written.
+Supported: rnaseq_only, partial_modality, simple_fusion,
+flexible_multimodal, final — image families with BOTH CT backbones
+(MONAI DenseNet121 and the MONAI-less simple-CNN fallback, auto-detected
+from the keys). The import is validated structurally against a real model
+init before anything is written.
 """
 
 from __future__ import annotations
@@ -33,7 +35,8 @@ sys.path.insert(0, str(REPO_ROOT))
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True,
-                   choices=["rnaseq_only", "partial_modality"])
+                   choices=["rnaseq_only", "partial_modality",
+                            "simple_fusion", "flexible_multimodal", "final"])
     p.add_argument("--torch-checkpoint", required=True)
     p.add_argument("--out", required=True,
                    help="output .msgpack path (.meta.json written beside it)")
@@ -72,6 +75,7 @@ def main():
     else:
         rna_dim = variables["params"]["rna_encoder"]["block0"]["linear"][
             "dense"]["kernel"].shape[0]
+    rna_dim = int(rna_dim)
 
     image_shape = tuple(int(x) for x in args.image_shape.split(","))
     hu_window = (tuple(float(x) for x in args.hu_window.split(","))

@@ -105,6 +105,92 @@ def test_import_partial_modality_matches_torch_forward(
     np.testing.assert_allclose(np.asarray(got_h), oracle_h, atol=2e-4)
 
 
+def test_import_simple_fusion_densenet_matches_torch_forward(tmp_path):
+    """simple_fusion with the MONAI backbone under its OTHER attribute name
+    ('image_encoder', not 'ct_encoder') — covers the deep RNA encoder, the
+    3-layer fusion head, and the encoder-prefix plumbing."""
+    from benchmarks.torch_reference_named import (
+        build_reference_named_simple_fusion,
+    )
+
+    torch.manual_seed(4)
+    rng = np.random.default_rng(4)
+    rna_dim, n, shape = 18, 3, (32, 32, 32)
+    model = build_reference_named_simple_fusion(rna_dim, use_monai=True)
+    ct = rng.normal(size=(n, 1, *shape)).astype(np.float32)
+    rna = rng.normal(size=(n, rna_dim)).astype(np.float32)
+    batch = (torch.asarray(ct), torch.asarray(rna))
+    _train_steps(model, lambda: batch, n_steps=1)
+    path = tmp_path / "fold_1_best.pth"
+    torch.save(model.state_dict(), path)
+    with torch.no_grad():
+        oracle = model(*batch).numpy()
+
+    variables, detected = import_torch_checkpoint("simple_fusion", path)
+    assert detected == "densenet121"
+
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.models import SimpleFusionModel
+
+    jmodel = SimpleFusionModel(backbone="densenet121")
+    inputs = (jnp.asarray(np.moveaxis(ct, 1, -1)), jnp.asarray(rna))
+    validate_against_model(variables, jmodel, inputs)
+    got = np.asarray(jmodel.apply(variables, *inputs, train=False))
+    np.testing.assert_allclose(got, oracle, atol=2e-4)
+
+
+@pytest.mark.parametrize("family", ["flexible_multimodal", "final"])
+def test_import_fusion_families_match_torch_forward(tmp_path, family):
+    """flexible_multimodal (learnable missing-modality biases) and final
+    (3-modality late fusion), fallback-CNN backbone for speed (the DenseNet
+    mapping is covered by the flagship/simple_fusion tests)."""
+    from benchmarks.torch_reference_named import (
+        build_reference_named_final,
+        build_reference_named_flexible,
+    )
+
+    torch.manual_seed(5)
+    rng = np.random.default_rng(5)
+    rna_dim, n, shape = 15, 4, (16, 16, 8)
+    ct = rng.normal(size=(n, 1, *shape)).astype(np.float32)
+    rna = rng.normal(size=(n, rna_dim)).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.models import (
+        FlexibleMultimodalModel,
+        MultiModalSurvivalNet,
+    )
+
+    if family == "flexible_multimodal":
+        model = build_reference_named_flexible(rna_dim, use_monai=False)
+        mask = np.asarray([[1, 1], [0, 1], [1, 0], [0, 0]], np.float32)
+        batch = (torch.asarray(ct), torch.asarray(rna), torch.asarray(mask))
+        jmodel = FlexibleMultimodalModel(backbone="simple_cnn")
+        jinputs = (jnp.asarray(np.moveaxis(ct, 1, -1)), jnp.asarray(rna),
+                   jnp.asarray(mask))
+    else:
+        model = build_reference_named_final(rna_dim, use_monai=False)
+        clin = rng.normal(size=(n, 1)).astype(np.float32)
+        batch = (torch.asarray(ct), torch.asarray(rna), torch.asarray(clin))
+        jmodel = MultiModalSurvivalNet(backbone="simple_cnn")
+        jinputs = (jnp.asarray(np.moveaxis(ct, 1, -1)), jnp.asarray(rna),
+                   jnp.asarray(clin))
+
+    _train_steps(model, lambda: batch, n_steps=1)
+    path = tmp_path / "fold_1_best.pth"
+    torch.save(model.state_dict(), path)
+    with torch.no_grad():
+        oracle = model(*batch).numpy()
+
+    variables, detected = import_torch_checkpoint(family, path)
+    assert detected == "simple_cnn"
+    validate_against_model(variables, jmodel, jinputs)
+    got = np.asarray(jmodel.apply(variables, *jinputs, train=False))
+    np.testing.assert_allclose(got, oracle, atol=2e-4)
+
+
 def test_import_wrong_family_raises(tmp_path):
     torch.manual_seed(2)
     model = build_reference_named_rnaseq(10, hidden=(1024, 512, 256))
