@@ -273,6 +273,104 @@ def build_reference_named_final(rna_dim=5005, clinical_dim=1, use_monai=True):
     return MultiModalSurvivalNet()
 
 
+def build_reference_named_image_only():
+    """Reference ImageOnlyModel (generate_km_curves.py:28-54)."""
+    import torch.nn as nn
+
+    class ImageOnlyModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = nn.Sequential(
+                nn.Conv3d(1, 16, 3, stride=2, padding=1),
+                nn.BatchNorm3d(16), nn.ReLU(),
+                nn.Conv3d(16, 32, 3, stride=2, padding=1),
+                nn.BatchNorm3d(32), nn.ReLU(),
+                nn.Conv3d(32, 64, 3, stride=2, padding=1),
+                nn.BatchNorm3d(64), nn.ReLU(),
+                nn.AdaptiveAvgPool3d(1),
+            )
+            self.fc = nn.Sequential(nn.Linear(64, 32), nn.ReLU())
+            self.risk_head = nn.Linear(32, 1)
+
+        def forward(self, x):
+            x = self.encoder(x).flatten(1)
+            return self.risk_head(self.fc(x)).squeeze(1)
+
+    return ImageOnlyModel()
+
+
+def build_reference_named_simmlm(rna_dim=5005, clinical_dim=1,
+                                 use_monai=True):
+    """Reference SimMLM_SurvivalNet (generate_km_curves.py:160-281): three
+    ModalityExperts (each with its own cox head on the UNMASKED features),
+    masked-softmax gating over [masked features ‖ mask], gate-weighted-sum
+    fusion, ensemble cox head."""
+    import torch
+    import torch.nn as nn
+
+    class ModalityExpert(nn.Module):
+        def __init__(self, modality, input_dim=None, output_dim=128):
+            super().__init__()
+            self.modality = modality
+            if modality == "image":
+                self.encoder = (_monai_densenet121_3d(output_dim)
+                                if use_monai else _fallback_cnn(output_dim))
+                self.pool = nn.AdaptiveAvgPool3d(1)
+            elif modality == "rnaseq":
+                self.encoder = nn.Sequential(
+                    nn.Linear(input_dim, 512), nn.BatchNorm1d(512),
+                    nn.ReLU(), nn.Dropout(0.3),
+                    nn.Linear(512, output_dim), nn.ReLU())
+            else:
+                self.encoder = nn.Sequential(
+                    nn.Linear(input_dim, 64), nn.ReLU(),
+                    nn.Linear(64, output_dim), nn.ReLU())
+            self.cox_head = nn.Linear(output_dim, 1)
+
+        def forward(self, x):
+            feat = self.encoder(x)
+            if feat.dim() > 2:
+                feat = feat.flatten(1)
+            return feat, self.cox_head(feat).squeeze(1)
+
+    class GatingNetwork(nn.Module):
+        def __init__(self, feature_dim=128, num=3):
+            super().__init__()
+            self.gate = nn.Sequential(
+                nn.Linear(feature_dim * num + num, 128), nn.ReLU(),
+                nn.Dropout(0.2), nn.Linear(128, 64), nn.ReLU(),
+                nn.Linear(64, num))
+
+        def forward(self, features_list, mask):
+            logits = self.gate(torch.cat(features_list + [mask], 1))
+            logits = logits.masked_fill(mask == 0, float("-inf"))
+            return torch.softmax(logits, 1)
+
+    class SimMLM_SurvivalNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.expert_image = ModalityExpert("image")
+            self.expert_rnaseq = ModalityExpert("rnaseq", input_dim=rna_dim)
+            self.expert_clinical = ModalityExpert("clinical",
+                                                  input_dim=clinical_dim)
+            self.gating = GatingNetwork()
+            self.ensemble_cox = nn.Linear(128, 1)
+
+        def forward(self, image, rnaseq, clinical, mask):
+            fi, hi = self.expert_image(image)
+            fr, hr = self.expert_rnaseq(rnaseq)
+            fc, hc = self.expert_clinical(clinical)
+            fi = fi * mask[:, 0:1]
+            fr = fr * mask[:, 1:2]
+            fc = fc * mask[:, 2:3]
+            g = self.gating([fi, fr, fc], mask)
+            fused = g[:, 0:1] * fi + g[:, 1:2] * fr + g[:, 2:3] * fc
+            ensemble = self.ensemble_cox(fused).squeeze(1)
+            return ensemble, torch.stack([hi, hr, hc], 1), g
+
+    return SimMLM_SurvivalNet()
+
+
 def build_reference_named_rnaseq(rna_dim=5005, hidden=(1024, 512, 256)):
     """The reference's RNASeqSurvivalModel with its exact ``mlp`` attribute
     (train_rnaseq_only.py:126-151)."""

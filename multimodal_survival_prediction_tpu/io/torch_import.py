@@ -24,9 +24,13 @@ tests/test_torch_import.py):
   * ``final`` — reference ``MultiModalSurvivalNet``
     (final_multimodal.py:59-150), either backbone.
 
-  Not importable: ``image_only`` and ``simmim`` (their training scripts are
-  absent upstream — there is no reference state_dict layout to map);
-  ``mmsurv`` (no reference implementation exists at all).
+  * ``image_only`` — the small 3D CNN the reference's KM script loads
+    (generate_km_curves.py:28-54; its training script is absent upstream,
+    but the checkpoint layout is defined there).
+  * ``simmim`` — SimMLM mixture-of-modality-experts
+    (generate_km_curves.py:160-281), either image-expert backbone.
+
+  Not importable: ``mmsurv`` (no reference implementation exists at all).
 
 Weight-layout conventions translated:
   * torch ``nn.Linear`` weight is (out, in); flax ``Dense`` kernel is
@@ -284,6 +288,48 @@ def import_flexible_multimodal_state_dict(state_dict: dict,
     return {"params": params, "batch_stats": stats}
 
 
+def import_image_only_state_dict(state_dict: dict) -> dict:
+    """Reference ImageOnlyModel (generate_km_curves.py:28-54: Conv 16/32/64
+    + fc(64→32) + risk head) -> flax variables for
+    models/image_only.py:ImageOnlyModel."""
+    sd = _index(state_dict)
+    enc_p, enc_s = _simple_cnn(sd, "encoder")
+    params = {"encoder": enc_p,
+              "fc": {"dense": _linear(sd, "fc.0")},
+              "risk_head": {"dense": _linear(sd, "risk_head")}}
+    _assert_consumed(sd)
+    return {"params": params, "batch_stats": {"encoder": enc_s}}
+
+
+def import_simmlm_state_dict(state_dict: dict,
+                             backbone: str = "densenet121") -> dict:
+    """Reference SimMLM_SurvivalNet (generate_km_curves.py:160-281: three
+    ModalityExperts with per-expert cox heads, masked-softmax gating,
+    ensemble head) -> flax variables for models/moe.py:SimMLMSurvivalNet."""
+    sd = _index(state_dict)
+    params, stats = {}, {}
+    params["expert_image"], stats["expert_image"] = _image_encoder(
+        sd, "expert_image.encoder", backbone)
+    params["cox_image"] = {"dense": _linear(sd, "expert_image.cox_head")}
+
+    params["expert_rnaseq"], stats["expert_rnaseq"] = _rna_compact(
+        sd, "expert_rnaseq.encoder")
+    params["cox_rnaseq"] = {"dense": _linear(sd, "expert_rnaseq.cox_head")}
+
+    params["expert_clinical"] = {
+        "fc0": {"dense": _linear(sd, "expert_clinical.encoder.0")},
+        "fc1": {"dense": _linear(sd, "expert_clinical.encoder.2")}}
+    params["cox_clinical"] = {
+        "dense": _linear(sd, "expert_clinical.cox_head")}
+
+    params["gating"] = {"fc0": {"dense": _linear(sd, "gating.gate.0")},
+                        "fc1": {"dense": _linear(sd, "gating.gate.3")},
+                        "fc2": {"dense": _linear(sd, "gating.gate.5")}}
+    params["ensemble_cox"] = {"dense": _linear(sd, "ensemble_cox")}
+    _assert_consumed(sd)
+    return {"params": params, "batch_stats": stats}
+
+
 def import_final_state_dict(state_dict: dict,
                             backbone: str = "densenet121") -> dict:
     """Reference MultiModalSurvivalNet (final_multimodal.py:59-150) -> flax
@@ -320,9 +366,14 @@ _IMPORTERS = {
     "simple_fusion": import_simple_fusion_state_dict,
     "flexible_multimodal": import_flexible_multimodal_state_dict,
     "final": import_final_state_dict,
+    "image_only": import_image_only_state_dict,
+    "simmim": import_simmlm_state_dict,
 }
+# families whose CT backbone varies with the reference's MONAI availability
+# (image_only's encoder is a fixed small CNN — no backbone choice there)
 _IMAGE_FAMILIES = frozenset(
-    ("partial_modality", "simple_fusion", "flexible_multimodal", "final"))
+    ("partial_modality", "simple_fusion", "flexible_multimodal", "final",
+     "simmim"))
 
 
 def import_torch_checkpoint(model_name: str, path, backbone: str | None = None):

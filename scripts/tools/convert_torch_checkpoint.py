@@ -15,11 +15,12 @@ directly, no retraining:
       --out models_tpu/partial_modality/fold_1_best.msgpack \\
       --image-shape 64,64,32
 
-Supported: rnaseq_only, partial_modality, simple_fusion,
-flexible_multimodal, final — image families with BOTH CT backbones
-(MONAI DenseNet121 and the MONAI-less simple-CNN fallback, auto-detected
-from the keys). The import is validated structurally against a real model
-init before anything is written.
+Supported: every reference family with an upstream state_dict layout —
+rnaseq_only, partial_modality, simple_fusion, flexible_multimodal, final,
+image_only, simmim (mmsurv has no reference implementation). Image families
+accept BOTH CT backbones (MONAI DenseNet121 and the MONAI-less simple-CNN
+fallback, auto-detected from the keys). The import is validated structurally
+against a real model init before anything is written.
 """
 
 from __future__ import annotations
@@ -36,7 +37,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True,
                    choices=["rnaseq_only", "partial_modality",
-                            "simple_fusion", "flexible_multimodal", "final"])
+                            "simple_fusion", "flexible_multimodal", "final",
+                            "image_only", "simmim"])
     p.add_argument("--torch-checkpoint", required=True)
     p.add_argument("--out", required=True,
                    help="output .msgpack path (.meta.json written beside it)")
@@ -69,12 +71,17 @@ def main():
         args.model, args.torch_checkpoint, backbone=args.backbone)
 
     # rna_dim straight from the imported weights (flax kernel is (in, out))
+    p_ = variables["params"]
     if args.model == "rnaseq_only":
-        rna_dim = variables["params"]["block0"]["linear"]["dense"][
+        rna_dim = p_["block0"]["linear"]["dense"]["kernel"].shape[0]
+    elif args.model == "image_only":
+        rna_dim = 5005  # image_only consumes no RNA; record the default
+    elif args.model == "simmim":
+        rna_dim = p_["expert_rnaseq"]["block0"]["linear"]["dense"][
             "kernel"].shape[0]
     else:
-        rna_dim = variables["params"]["rna_encoder"]["block0"]["linear"][
-            "dense"]["kernel"].shape[0]
+        rna_dim = p_["rna_encoder"]["block0"]["linear"]["dense"][
+            "kernel"].shape[0]
     rna_dim = int(rna_dim)
 
     image_shape = tuple(int(x) for x in args.image_shape.split(","))

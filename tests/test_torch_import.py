@@ -191,6 +191,78 @@ def test_import_fusion_families_match_torch_forward(tmp_path, family):
     np.testing.assert_allclose(got, oracle, atol=2e-4)
 
 
+def test_import_image_only_matches_torch_forward(tmp_path):
+    from benchmarks.torch_reference_named import (
+        build_reference_named_image_only,
+    )
+
+    torch.manual_seed(6)
+    rng = np.random.default_rng(6)
+    n, shape = 4, (16, 16, 8)
+    model = build_reference_named_image_only()
+    ct = rng.normal(size=(n, 1, *shape)).astype(np.float32)
+    batch = (torch.asarray(ct),)
+    _train_steps(model, lambda: batch, n_steps=1)
+    path = tmp_path / "fold_1_best.pth"
+    torch.save(model.state_dict(), path)
+    with torch.no_grad():
+        oracle = model(*batch).numpy()
+
+    variables, detected = import_torch_checkpoint("image_only", path)
+    assert detected is None  # fixed architecture, no backbone choice
+
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.models import ImageOnlyModel
+
+    jmodel = ImageOnlyModel()
+    inputs = (jnp.asarray(np.moveaxis(ct, 1, -1)),)
+    validate_against_model(variables, jmodel, inputs)
+    got = np.asarray(jmodel.apply(variables, *inputs, train=False))
+    np.testing.assert_allclose(got, oracle, atol=2e-4)
+
+
+def test_import_simmlm_matches_torch_forward(tmp_path):
+    """SimMLM: all three expert encoders, per-expert cox heads, the 3-layer
+    gating MLP with masked softmax, and the ensemble head. Ensemble hazard,
+    expert hazards AND gates must match the torch eval forward (rows with at
+    least one modality — the all-missing row is this framework's documented
+    NaN fix and differs from the reference's NaN)."""
+    from benchmarks.torch_reference_named import build_reference_named_simmlm
+
+    torch.manual_seed(7)
+    rng = np.random.default_rng(7)
+    rna_dim, n, shape = 12, 3, (16, 16, 8)
+    model = build_reference_named_simmlm(rna_dim, use_monai=False)
+    ct = rng.normal(size=(n, 1, *shape)).astype(np.float32)
+    rna = rng.normal(size=(n, rna_dim)).astype(np.float32)
+    clin = rng.normal(size=(n, 1)).astype(np.float32)
+    mask = np.asarray([[1, 1, 1], [0, 1, 0], [1, 0, 1]], np.float32)
+    batch = (torch.asarray(ct), torch.asarray(rna), torch.asarray(clin),
+             torch.asarray(mask))
+    _train_steps(model, lambda: batch, n_steps=1)
+    path = tmp_path / "fold_1_best.pth"
+    torch.save(model.state_dict(), path)
+    with torch.no_grad():
+        o_ens, o_exp, o_g = (x.numpy() for x in model(*batch))
+
+    variables, detected = import_torch_checkpoint("simmim", path)
+    assert detected == "simple_cnn"
+
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.models import SimMLMSurvivalNet
+
+    jmodel = SimMLMSurvivalNet(backbone="simple_cnn")
+    inputs = (jnp.asarray(np.moveaxis(ct, 1, -1)), jnp.asarray(rna),
+              jnp.asarray(clin), jnp.asarray(mask))
+    validate_against_model(variables, jmodel, inputs)
+    ens, exp, g = jmodel.apply(variables, *inputs, train=False)
+    np.testing.assert_allclose(np.asarray(g), o_g, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(exp), o_exp, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ens), o_ens, atol=2e-4)
+
+
 def test_import_wrong_family_raises(tmp_path):
     torch.manual_seed(2)
     model = build_reference_named_rnaseq(10, hidden=(1024, 512, 256))
