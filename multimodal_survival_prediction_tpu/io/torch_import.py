@@ -400,6 +400,185 @@ def import_torch_checkpoint(model_name: str, path, backbone: str | None = None):
     return _IMPORTERS[model_name](sd), None
 
 
+# --------------------------------------------------------------------------
+# Export: flax variables -> reference torch state_dict (inverse direction).
+# Each _exp_* mirrors its import helper; the roundtrip tests
+# (tests/test_torch_import.py) pin export∘import == identity for every
+# family, so the two maps cannot drift apart silently.
+# --------------------------------------------------------------------------
+
+
+def _exp_linear(out, prefix, tree):
+    out[f"{prefix}.weight"] = np.ascontiguousarray(
+        np.asarray(tree["kernel"]).T)
+    if "bias" in tree:
+        out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _exp_conv3d(out, prefix, tree):
+    out[f"{prefix}.weight"] = np.ascontiguousarray(
+        np.transpose(np.asarray(tree["kernel"]), (4, 3, 0, 1, 2)))
+    if "bias" in tree:
+        out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _exp_bn(out, prefix, p, s):
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+    out[f"{prefix}.running_mean"] = np.asarray(s["mean"])
+    out[f"{prefix}.running_var"] = np.asarray(s["var"])
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _exp_densenet121(out, prefix, p, s):
+    _exp_conv3d(out, f"{prefix}.features.conv0", p["conv0"]["conv"])
+    _exp_bn(out, f"{prefix}.features.norm0", p["norm0"]["bn"],
+            s["norm0"]["bn"])
+    for bi, n_layers in enumerate(_DN_BLOCKS):
+        for li in range(n_layers):
+            tp = f"{prefix}.features.denseblock{bi + 1}.denselayer{li + 1}.layers"
+            name = f"block{bi}_layer{li}"
+            _exp_bn(out, f"{tp}.norm1", p[name]["norm1"]["bn"],
+                    s[name]["norm1"]["bn"])
+            _exp_conv3d(out, f"{tp}.conv1", p[name]["conv1"]["conv"])
+            _exp_bn(out, f"{tp}.norm2", p[name]["norm2"]["bn"],
+                    s[name]["norm2"]["bn"])
+            _exp_conv3d(out, f"{tp}.conv2", p[name]["conv2"]["conv"])
+        if bi != len(_DN_BLOCKS) - 1:
+            tp = f"{prefix}.features.transition{bi + 1}"
+            name = f"transition{bi}"
+            _exp_bn(out, f"{tp}.norm", p[name]["norm"]["bn"],
+                    s[name]["norm"]["bn"])
+            _exp_conv3d(out, f"{tp}.conv", p[name]["conv"]["conv"])
+    _exp_bn(out, f"{prefix}.features.norm5", p["norm5"]["bn"],
+            s["norm5"]["bn"])
+    _exp_linear(out, f"{prefix}.class_layers.out", p["head"])
+
+
+def _exp_simple_cnn(out, prefix, p, s):
+    for i, seq in enumerate((0, 3, 6)):
+        _exp_conv3d(out, f"{prefix}.{seq}", p[f"conv{i}"]["conv"])
+        _exp_bn(out, f"{prefix}.{seq + 1}", p[f"bn{i}"]["bn"],
+                s[f"bn{i}"]["bn"])
+
+
+def _exp_image_encoder(out, prefix, p, s):
+    if "densenet" in p:
+        _exp_densenet121(out, prefix, p["densenet"], s["densenet"])
+    else:
+        _exp_simple_cnn(out, prefix, p["cnn"], s["cnn"])
+
+
+def _exp_rna_deep(out, prefix, p, s):
+    for i, seq in enumerate((0, 4)):
+        _exp_linear(out, f"{prefix}.{seq}",
+                    p[f"block{i}"]["linear"]["dense"])
+        _exp_bn(out, f"{prefix}.{seq + 1}", p[f"block{i}"]["norm"]["bn"],
+                s[f"block{i}"]["norm"]["bn"])
+    _exp_linear(out, f"{prefix}.8", p["proj"]["dense"])
+
+
+def _exp_rna_compact(out, prefix, p, s):
+    _exp_linear(out, f"{prefix}.0", p["block0"]["linear"]["dense"])
+    _exp_bn(out, f"{prefix}.1", p["block0"]["norm"]["bn"],
+            s["block0"]["norm"]["bn"])
+    _exp_linear(out, f"{prefix}.4", p["proj"]["dense"])
+
+
+def _exp_fusion_head(out, prefix, p, s):
+    _exp_linear(out, f"{prefix}.0", p["block0"]["linear"]["dense"])
+    _exp_bn(out, f"{prefix}.1", p["block0"]["norm"]["bn"],
+            s["block0"]["norm"]["bn"])
+    _exp_linear(out, f"{prefix}.4", p["linear1"]["dense"])
+    _exp_linear(out, f"{prefix}.7", p["out"]["dense"])
+
+
+def export_torch_state_dict(model_name: str, variables: dict) -> dict:
+    """flax variables -> reference-layout torch state_dict ({key: ndarray}).
+
+    Inverse of ``import_torch_checkpoint`` — a model trained HERE can be
+    handed back to reference/torch tooling (``torch.load`` +
+    ``load_state_dict(strict=True)`` on the reference class). The CT
+    backbone is inferred from the variables ('densenet' vs 'cnn' subtree);
+    MONAI key layout is emitted for DenseNet (incl. the ``.layers.``
+    nesting).
+    """
+    p = {k: v for k, v in variables["params"].items()}
+    s = dict(variables.get("batch_stats", {}))
+    out: dict = {}
+    if model_name == "rnaseq_only":
+        for i in range(3):
+            _exp_linear(out, f"mlp.{4 * i}",
+                        p[f"block{i}"]["linear"]["dense"])
+            _exp_bn(out, f"mlp.{4 * i + 1}", p[f"block{i}"]["norm"]["bn"],
+                    s[f"block{i}"]["norm"]["bn"])
+        _exp_linear(out, "mlp.12", p["head"]["dense"])
+    elif model_name == "image_only":
+        _exp_simple_cnn(out, "encoder", p["encoder"], s["encoder"])
+        _exp_linear(out, "fc.0", p["fc"]["dense"])
+        _exp_linear(out, "risk_head", p["risk_head"]["dense"])
+    elif model_name == "partial_modality":
+        _exp_image_encoder(out, "ct_encoder", p["ct_encoder"],
+                           s["ct_encoder"])
+        _exp_rna_compact(out, "rna_encoder", p["rna_encoder"],
+                         s["rna_encoder"])
+        _exp_linear(out, "clinical_encoder.0",
+                    p["clinical_encoder"]["proj"]["dense"])
+        _exp_linear(out, "gate.0", p["gate0"]["dense"])
+        _exp_linear(out, "gate.2", p["gate1"]["dense"])
+        _exp_linear(out, "fusion.0", p["fusion_block"]["linear"]["dense"])
+        _exp_bn(out, "fusion.1", p["fusion_block"]["norm"]["bn"],
+                s["fusion_block"]["norm"]["bn"])
+        _exp_linear(out, "fusion.4", p["fusion_proj"]["dense"])
+        _exp_linear(out, "cox_head", p["cox_head"]["dense"])
+    elif model_name == "simple_fusion":
+        _exp_rna_deep(out, "rna_encoder", p["rna_encoder"], s["rna_encoder"])
+        _exp_image_encoder(out, "image_encoder", p["image_encoder"],
+                           s["image_encoder"])
+        _exp_fusion_head(out, "fusion", p["fusion"], s["fusion"])
+    elif model_name == "flexible_multimodal":
+        _exp_image_encoder(out, "image_encoder", p["image_encoder"],
+                           s["image_encoder"])
+        _exp_rna_deep(out, "rna_encoder", p["rna_encoder"], s["rna_encoder"])
+        out["missing_image_bias"] = np.asarray(p["missing_image_bias"])
+        out["missing_rna_bias"] = np.asarray(p["missing_rna_bias"])
+        _exp_fusion_head(out, "fusion", p["fusion"], s["fusion"])
+    elif model_name == "final":
+        _exp_image_encoder(out, "ct_encoder", p["ct_encoder"],
+                           s["ct_encoder"])
+        _exp_rna_compact(out, "rna_encoder", p["rna_encoder"],
+                         s["rna_encoder"])
+        _exp_linear(out, "clinical_encoder.0",
+                    p["clinical_encoder"]["proj"]["dense"])
+        _exp_linear(out, "fusion.0", p["fusion_block"]["linear"]["dense"])
+        _exp_bn(out, "fusion.1", p["fusion_block"]["norm"]["bn"],
+                s["fusion_block"]["norm"]["bn"])
+        _exp_linear(out, "fusion.4", p["fusion_proj"]["dense"])
+        _exp_linear(out, "cox_head", p["cox_head"]["dense"])
+    elif model_name == "simmim":
+        _exp_image_encoder(out, "expert_image.encoder", p["expert_image"],
+                           s["expert_image"])
+        _exp_linear(out, "expert_image.cox_head", p["cox_image"]["dense"])
+        _exp_rna_compact(out, "expert_rnaseq.encoder", p["expert_rnaseq"],
+                         s["expert_rnaseq"])
+        _exp_linear(out, "expert_rnaseq.cox_head", p["cox_rnaseq"]["dense"])
+        _exp_linear(out, "expert_clinical.encoder.0",
+                    p["expert_clinical"]["fc0"]["dense"])
+        _exp_linear(out, "expert_clinical.encoder.2",
+                    p["expert_clinical"]["fc1"]["dense"])
+        _exp_linear(out, "expert_clinical.cox_head",
+                    p["cox_clinical"]["dense"])
+        _exp_linear(out, "gating.gate.0", p["gating"]["fc0"]["dense"])
+        _exp_linear(out, "gating.gate.3", p["gating"]["fc1"]["dense"])
+        _exp_linear(out, "gating.gate.5", p["gating"]["fc2"]["dense"])
+        _exp_linear(out, "ensemble_cox", p["ensemble_cox"]["dense"])
+    else:
+        raise ValueError(
+            f"torch export not implemented for {model_name!r} "
+            f"(supported: {sorted(_IMPORTERS)})")
+    return out
+
+
 def validate_against_model(variables: dict, model, example_inputs) -> None:
     """Structure/shape-check imported variables against a real model init.
 

@@ -263,6 +263,123 @@ def test_import_simmlm_matches_torch_forward(tmp_path):
     np.testing.assert_allclose(np.asarray(ens), o_ens, atol=2e-4)
 
 
+def _init_family(family, backbone="simple_cnn", rna_dim=8,
+                 shape=(16, 16, 8)):
+    """Tiny real init of a family's flax model + the example inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.config import ALL_CONFIGS
+    from multimodal_survival_prediction_tpu.train.adapters import (
+        make_model_and_adapters,
+    )
+
+    cfg = ALL_CONFIGS[family]
+    model, batch_to_inputs, _ = make_model_and_adapters(cfg,
+                                                        backbone=backbone)
+    b = {"image": jnp.zeros((2, *shape, 1), jnp.float32),
+         "rnaseq": jnp.ones((2, rna_dim), jnp.float32),
+         "clinical": jnp.ones((2, 1), jnp.float32),
+         "mask": jnp.ones((2, 3), jnp.float32),
+         "time": jnp.ones((2,), jnp.float32),
+         "event": jnp.ones((2,), jnp.float32),
+         "svalid": jnp.ones((2,), jnp.float32),
+         "valid": jnp.ones((2,), jnp.float32)}
+    inputs = batch_to_inputs(b)
+    variables = model.init({"params": jax.random.PRNGKey(9),
+                            "dropout": jax.random.PRNGKey(9)},
+                           *inputs, train=False)
+    return model, inputs, jax.device_get(dict(variables))
+
+
+@pytest.mark.parametrize("family", [
+    "rnaseq_only", "image_only", "partial_modality", "simple_fusion",
+    "flexible_multimodal", "final", "simmim"])
+def test_export_import_roundtrip(family):
+    """export∘import must be the identity on every leaf, every family —
+    this pins the import and export maps to each other permanently."""
+    import jax
+
+    from multimodal_survival_prediction_tpu.io.torch_import import (
+        _IMAGE_FAMILIES,
+        export_torch_state_dict,
+    )
+    from multimodal_survival_prediction_tpu.io.torch_import import (
+        _IMPORTERS as IMPORTERS,
+    )
+
+    _, _, variables = _init_family(family)
+    sd = export_torch_state_dict(family, variables)
+    if family in _IMAGE_FAMILIES:
+        back = IMPORTERS[family](sd, backbone="simple_cnn")
+    else:
+        back = IMPORTERS[family](sd)
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        {"params": variables["params"],
+         "batch_stats": dict(variables.get("batch_stats", {}))})
+    flat_b = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(back)}
+    for path, leaf in flat_a:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_array_equal(np.asarray(leaf), flat_b.pop(key),
+                                      err_msg=key)
+    assert not flat_b  # no extra leaves materialized
+
+
+def test_export_import_roundtrip_densenet():
+    """The MONAI DenseNet121 export path (every dense block / transition /
+    head key) — roundtrip at the 32^3 minimum input."""
+    import jax
+
+    from multimodal_survival_prediction_tpu.io.torch_import import (
+        export_torch_state_dict,
+        import_partial_modality_state_dict,
+    )
+
+    _, _, variables = _init_family("partial_modality",
+                                   backbone="densenet121",
+                                   shape=(32, 32, 32))
+    sd = export_torch_state_dict("partial_modality", variables)
+    assert any(".layers." in k for k in sd)  # MONAI nesting emitted
+    back = import_partial_modality_state_dict(sd, backbone="densenet121")
+    flat_b = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(back)}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            {"params": variables["params"],
+             "batch_stats": dict(variables["batch_stats"])}):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_array_equal(np.asarray(leaf), flat_b.pop(key),
+                                      err_msg=key)
+    assert not flat_b
+
+
+def test_export_loads_into_torch_strict():
+    """An exported state_dict must load into the reference-named torch class
+    with strict=True and produce the flax model's eval scores — the full
+    hand-back-to-torch direction."""
+    from multimodal_survival_prediction_tpu.io.torch_import import (
+        export_torch_state_dict,
+    )
+
+    jmodel, inputs, variables = _init_family("partial_modality")
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state_dict(
+              "partial_modality", variables).items()}
+    tmodel = build_reference_named_partial_modality(rna_dim=8,
+                                                    use_monai=False)
+    tmodel.load_state_dict(sd, strict=True)
+    tmodel.eval()
+
+    flax_h, flax_g = jmodel.apply(variables, *inputs, train=False)
+    ct = torch.asarray(np.moveaxis(np.asarray(inputs[0]), -1, 1))
+    with torch.no_grad():
+        t_h, t_g = tmodel(ct, torch.asarray(np.asarray(inputs[1])),
+                          torch.asarray(np.asarray(inputs[2])),
+                          torch.asarray(np.asarray(inputs[3])))
+    np.testing.assert_allclose(np.asarray(flax_h), t_h.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(flax_g), t_g.numpy(), atol=2e-4)
+
+
 def test_import_wrong_family_raises(tmp_path):
     torch.manual_seed(2)
     model = build_reference_named_rnaseq(10, hidden=(1024, 512, 256))
@@ -270,6 +387,38 @@ def test_import_wrong_family_raises(tmp_path):
     torch.save(model.state_dict(), path)
     with pytest.raises((KeyError, ValueError)):
         import_torch_checkpoint("partial_modality", path)
+
+
+def test_converted_checkpoint_serves(tmp_path):
+    """A converted checkpoint must also work through the serving layer
+    (RiskScorer reads the converter's .meta.json for backbone/rna_dim)."""
+    from multimodal_survival_prediction_tpu.io.checkpoint import (
+        save_checkpoint,
+        save_fold_meta,
+    )
+    from multimodal_survival_prediction_tpu.serving import RiskScorer
+
+    torch.manual_seed(8)
+    rna_dim = 16
+    model = build_reference_named_rnaseq(rna_dim, hidden=(1024, 512, 256))
+    x = np.random.default_rng(8).normal(size=(1, rna_dim)).astype(np.float32)
+    _train_steps(model, lambda: (torch.asarray(np.repeat(x, 4, 0)),))
+    with torch.no_grad():
+        oracle = float(model(torch.asarray(x)).squeeze())
+
+    pth = tmp_path / "fold_1_best.pth"
+    torch.save(model.state_dict(), pth)
+    variables, _ = import_torch_checkpoint("rnaseq_only", pth)
+    out = tmp_path / "fold_1_best.msgpack"
+    save_checkpoint(out, variables)
+    save_fold_meta(out, model="rnaseq_only", backbone=None,
+                   image_shape=[16, 16, 8], rna_dim=rna_dim, hu_window=None,
+                   use_pallas_resample=False, ties="breslow",
+                   imported_from=str(pth))
+
+    scorer = RiskScorer("rnaseq_only", out)
+    got = scorer.score(rnaseq=x[0])
+    assert abs(got["risk_score"] - oracle) < 1e-4
 
 
 def test_converted_checkpoint_scores_like_torch(tmp_path):
