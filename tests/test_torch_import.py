@@ -389,6 +389,37 @@ def test_import_wrong_family_raises(tmp_path):
         import_torch_checkpoint("partial_modality", path)
 
 
+def test_import_dataparallel_and_wrapped_state_dicts(tmp_path):
+    """Common real-world variants: nn.DataParallel 'module.' prefixes and
+    a {'state_dict': ...} wrapper dict must both load."""
+    torch.manual_seed(10)
+    model = build_reference_named_rnaseq(9, hidden=(1024, 512, 256))
+    model.eval()
+    base, _ = import_torch_checkpoint(
+        "rnaseq_only",
+        _save(tmp_path / "a.pth", model.state_dict()))
+    wrapped, _ = import_torch_checkpoint(
+        "rnaseq_only",
+        _save(tmp_path / "b.pth", {"state_dict": model.state_dict()}))
+    dp, _ = import_torch_checkpoint(
+        "rnaseq_only",
+        _save(tmp_path / "c.pth",
+              {f"module.{k}": v for k, v in model.state_dict().items()}))
+    import jax
+
+    for other in (wrapped, dp):
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(base),
+                jax.tree_util.tree_leaves_with_path(other)):
+            np.testing.assert_array_equal(a, b,
+                                          err_msg=jax.tree_util.keystr(pa))
+
+
+def _save(path, obj):
+    torch.save(obj, path)
+    return path
+
+
 def test_converted_checkpoint_serves(tmp_path):
     """A converted checkpoint must also work through the serving layer
     (RiskScorer reads the converter's .meta.json for backbone/rna_dim)."""
