@@ -48,13 +48,22 @@ class RiskScorer:
         image models because it is a second multi-minute compile on the
         remote tunnel; image-FREE families (e.g. rnaseq_only) always use
         the image-less program — it is their only one.
+      aot_cache_dir: directory for the compiled-executable cache
+        (io/aot_cache.py). The FIRST scorer process pays the compile and
+        persists the executable; every later process with the same program
+        (model/batch/shapes — checkpoints are runtime arguments, so fold
+        rotation does NOT invalidate it) loads it and skips tracing,
+        lowering, and XLA compilation entirely — on the remote-TPU tunnel
+        that is the difference between minutes and milliseconds of warmup.
+        `self.aot_info` records hit/miss per program.
     """
 
     def __init__(self, model_name: str, checkpoint_path,
                  backbone: str | None = None, batch_size: int = 1,
                  rna_dim: int | None = None, image_shape=None,
                  hu_window=None, fold_calibration=None,
-                 no_image_variant: bool = False):
+                 no_image_variant: bool = False,
+                 aot_cache_dir=None):
         from .io.checkpoint import load_fold_meta
 
         self.cfg: ModelRunConfig = ALL_CONFIGS[model_name]
@@ -184,7 +193,25 @@ class RiskScorer:
         # plane: compile ONLY the packed-only program — same compile count,
         # and no request ever ships the zero CT plane
         self._has_image_modality = "image" in self.cfg.modalities
+        self.aot_cache_dir = aot_cache_dir
+        self.aot_info: dict = {}
         self.warmup(no_image_variant=no_image_variant)
+
+    def _aot(self, jitted, tag, *example_args):
+        """Route one scoring program through the executable cache (when
+        enabled); the compile path is byte-for-byte the jit the cache
+        replaces, so a disabled/failed cache only costs time."""
+        if not self.aot_cache_dir:
+            return jitted
+        from .io.aot_cache import cached_compile
+
+        compiled, info = cached_compile(
+            jitted, *example_args, cache_dir=self.aot_cache_dir,
+            extra_meta={"program": tag, "model": self.cfg.name,
+                        "batch_size": self.batch_size,
+                        "n_folds": self.n_folds})
+        self.aot_info[tag] = info
+        return compiled
 
     def _empty_batch_host(self, n):
         """Unpacked host zero batch — init/eval_shape example only; the
@@ -218,10 +245,11 @@ class RiskScorer:
         # _sync (value readback), not block_until_ready: the latter returns
         # early on the axon remote backend, so the first request would still
         # pay the compile wait.
-        _sync(self._score(
-            self._variables,
-            jnp.asarray(self._empty_packed(self.batch_size)),
-            jnp.asarray(self._empty_image_host(self.batch_size))))
+        packed = jnp.asarray(self._empty_packed(self.batch_size))
+        image = jnp.asarray(self._empty_image_host(self.batch_size))
+        self._score = self._aot(self._score, "score", self._variables,
+                                packed, image)
+        _sync(self._score(self._variables, packed, image))
         if no_image_variant:
             self.warmup_no_image()
 
@@ -233,9 +261,10 @@ class RiskScorer:
         stall an unlucky request instead)."""
         from .utils.profiling import _sync
 
-        _sync(self._score_no_image(
-            self._variables,
-            jnp.asarray(self._empty_packed(self.batch_size))))
+        packed = jnp.asarray(self._empty_packed(self.batch_size))
+        self._score_no_image = self._aot(
+            self._score_no_image, "score_no_image", self._variables, packed)
+        _sync(self._score_no_image(self._variables, packed))
         self._no_image_ready = True
 
     def _fill_row(self, packed, image, i, rnaseq=None, age=None, volume=None,

@@ -54,6 +54,15 @@ def main():
                    help="CT Hounsfield window 'lo,hi' — must match the value "
                         "the checkpoint was TRAINED with (use the = form for "
                         "negative bounds: --hu-window=-150,250)")
+    p.add_argument("--aot-cache", default=None, metavar="DIR",
+                   help="compiled-executable cache directory "
+                        "(io/aot_cache.py): the first server process pays "
+                        "the compile and persists the executable; later "
+                        "processes with the same program load it and skip "
+                        "tracing+lowering+XLA compile (minutes on the "
+                        "remote tunnel). Per-machine cache; checkpoint "
+                        "contents are runtime arguments and never "
+                        "invalidate it")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8400)
     args = p.parse_args()
@@ -78,9 +87,12 @@ def main():
         no_image_variant=args.warm_no_image,
         image_shape=(tuple(int(x) for x in args.image_shape.split(","))
                      if args.image_shape else None),
-        hu_window=parse_hu_window(args.hu_window))
-    print(f"model {args.model} loaded + compiled; "
-          f"serving on {args.host}:{args.port}")
+        hu_window=parse_hu_window(args.hu_window),
+        aot_cache_dir=args.aot_cache)
+    aot = ", ".join(f"{k}: {v['source']}" for k, v in scorer.aot_info.items())
+    print(f"model {args.model} loaded + compiled"
+          + (f" (aot-cache {aot})" if aot else "")
+          + f"; serving on {args.host}:{args.port}")
 
     from multimodal_survival_prediction_tpu.serving import make_server
 

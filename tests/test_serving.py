@@ -259,3 +259,32 @@ def test_image_free_model_never_ships_plane(checkpoint):
     assert scorer._no_image_ready
     with pytest.raises(ValueError, match="no image modality"):
         scorer.score(volume=np.zeros((8, 8, 8), np.float32))
+
+
+def test_aot_cache_scorer_hit_matches_compile(checkpoint, tmp_path):
+    """Second scorer process loads the persisted executable (no recompile)
+    and scores identically; the checkpoint is a runtime argument, so a
+    DIFFERENT fold reuses the same cached program."""
+    cache = tmp_path / "aot"
+    rng = np.random.default_rng(3)
+    rna = rng.normal(size=80)
+
+    s1 = RiskScorer("rnaseq_only", checkpoint, rna_dim=80,
+                    aot_cache_dir=cache)
+    assert s1.aot_info["score_no_image"]["source"] == "compile"
+    want = s1.score(rnaseq=rna, age=55)["risk_score"]
+
+    s2 = RiskScorer("rnaseq_only", checkpoint, rna_dim=80,
+                    aot_cache_dir=cache)
+    assert s2.aot_info["score_no_image"]["source"] == "cache"
+    assert s2.score(rnaseq=rna, age=55)["risk_score"] == want
+
+    # plain (cache-off) scorer agrees: the cache cannot change results
+    s3 = RiskScorer("rnaseq_only", checkpoint, rna_dim=80)
+    assert s3.score(rnaseq=rna, age=55)["risk_score"] == want
+
+    # a different fold checkpoint HITS the same entry (params are args)
+    other = checkpoint.parent / "fold_2_best.msgpack"
+    s4 = RiskScorer("rnaseq_only", other, rna_dim=80, aot_cache_dir=cache)
+    assert s4.aot_info["score_no_image"]["source"] == "cache"
+    assert np.isfinite(s4.score(rnaseq=rna, age=55)["risk_score"])
