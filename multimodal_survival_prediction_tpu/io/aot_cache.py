@@ -150,6 +150,58 @@ def load_executable(cache_dir, key):
         return None
 
 
+def _args_signature(args, kwargs=None):
+    """Shape/dtype/treedef signature of a concrete call — the dispatch key
+    for :class:`AOTCachedFunction` (mirrors what makes jit re-trace)."""
+    leaves, treedef = jax.tree_util.tree_flatten((args, kwargs or {}))
+    return (str(treedef),
+            tuple((tuple(getattr(x, "shape", ())),
+                   str(getattr(x, "dtype", type(x).__name__)))
+                  for x in leaves))
+
+
+class AOTCachedFunction:
+    """Callable wrapper giving a jitted function a DISK-backed compile cache.
+
+    Like jit's own in-memory specialization cache, keyed by the call's
+    shape/dtype signature — but each specialization round-trips through
+    :func:`cached_compile`, so a LATER PROCESS calling with the same
+    shapes loads the persisted executable instead of recompiling (on the
+    remote-TPU tunnel: milliseconds instead of minutes; XLA's persistent
+    cache does not capture remote compiles there).  Used by
+    ``train.engine.Trainer(aot_cache_dir=...)`` for its scan-epoch
+    programs, whose padded fixed shapes make signatures stable across
+    epochs (a new fold size is simply a second cached specialization).
+
+    Results are untouched: every executable is produced by the same XLA
+    compile the wrapper replaces, and any load/store failure falls back
+    to that compile.  `info` maps each seen signature to its
+    cache/compile provenance.  Note: the signature does not encode input
+    SHARDINGS — use one instance per trainer/mesh (as the engine does),
+    not across differently-sharded callers.
+    """
+
+    def __init__(self, jitted, cache_dir, tag="fn", extra_meta=None):
+        self._jitted = jitted
+        self._cache_dir = cache_dir
+        self._tag = tag
+        self._extra_meta = extra_meta
+        self._by_sig = {}
+        self.info = {}
+
+    def __call__(self, *args):
+        sig = _args_signature(args)
+        fn = self._by_sig.get(sig)
+        if fn is None:
+            meta = {"program": self._tag, **(self._extra_meta or {})}
+            fn, info = cached_compile(
+                self._jitted, *args, cache_dir=self._cache_dir,
+                extra_meta=meta)
+            self._by_sig[sig] = fn
+            self.info[sig] = info
+        return fn(*args)
+
+
 def cached_compile(jitted, *example_args, cache_dir, extra_key=(),
                    extra_meta=None, **example_kwargs):
     """Compile `jitted` for `example_args` through the executable cache.

@@ -129,6 +129,7 @@ def run_cross_validation(
     prepared=None,
     streaming: bool = False,
     sharded_risk_set: bool = False,
+    aot_cache_dir=None,
 ):
     """Full CV run for one model config. Returns (payload, fold_outcomes).
 
@@ -182,7 +183,8 @@ def run_cross_validation(
     # fold; recompiling 5x would waste minutes of TPU time for nothing).
     trainer = Trainer(model, batch_to_inputs, hazard_and_aux, tcfg, mesh=mesh,
                       tensor_parallel=tensor_parallel,
-                      sharded_risk_set=sharded_risk_set)
+                      sharded_risk_set=sharded_risk_set,
+                      aot_cache_dir=aot_cache_dir)
     stage1_trainer = None
     if cfg.stage1_epochs:
         from .adapters import simmlm_stage1_adapter
@@ -190,7 +192,8 @@ def run_cross_validation(
         stage1_trainer = Trainer(model, batch_to_inputs,
                                  simmlm_stage1_adapter(), tcfg, mesh=mesh,
                                  tensor_parallel=tensor_parallel,
-                                 sharded_risk_set=sharded_risk_set)
+                                 sharded_risk_set=sharded_risk_set,
+                                 aot_cache_dir=aot_cache_dir)
     example = {k: v[:cfg.batch_size] for k, v in data.items()}
     example["valid"] = example["svalid"]
 

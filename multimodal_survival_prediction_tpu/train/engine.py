@@ -124,6 +124,7 @@ class Trainer:
         batch_axis: str = "data",
         tensor_parallel: bool = False,
         sharded_risk_set: bool = False,
+        aot_cache_dir=None,
     ):
         self.model = model
         self.cfg = cfg
@@ -146,6 +147,14 @@ class Trainer:
         # collectives. Requires a mesh with a 'model' axis of size > 1.
         self.tensor_parallel = tensor_parallel and mesh is not None and (
             dict(mesh.shape).get("model", 1) > 1)
+        # aot_cache_dir: persist the compiled scan-epoch executables to disk
+        # (io/aot_cache.py) so a LATER PROCESS with the same program + shapes
+        # skips tracing/lowering/XLA-compile entirely — on the remote-TPU
+        # tunnel each scan program is a multi-minute compile that XLA's
+        # persistent cache does not capture. Per-machine cache; results are
+        # unchanged (same executables XLA would produce; any cache failure
+        # falls back to a normal compile).
+        self.aot_cache_dir = aot_cache_dir
         self._extra_collections = {}
         self._train_epoch_fn = None
         self._train_step_fn = None
@@ -335,6 +344,21 @@ class Trainer:
 
         return jax.jit(eval_batches)
 
+    def _maybe_aot(self, jitted, tag):
+        """Wrap a lazily-built jit program in the disk-backed executable
+        cache when ``aot_cache_dir`` is set (io/aot_cache.py); otherwise
+        return it untouched. The wrapper dispatches per call-shape
+        signature, so differing fold sizes simply become separate cached
+        specializations — exactly jit's own behavior, persisted."""
+        if not self.aot_cache_dir:
+            return jitted
+        from ..io.aot_cache import AOTCachedFunction
+
+        return AOTCachedFunction(
+            jitted, self.aot_cache_dir, tag=tag,
+            extra_meta={"model": type(self.model).__name__,
+                        "batch_size": self.cfg.batch_size})
+
     # ---------------- host-side API ----------------
 
     @staticmethod
@@ -375,7 +399,8 @@ class Trainer:
                     shuffle_rng: np.random.Generator, lr: float, dropout_key):
         """One epoch over `indices` (global row ids into `data`)."""
         if self._train_epoch_fn is None:
-            self._train_epoch_fn = self._build_train_epoch()
+            self._train_epoch_fn = self._maybe_aot(
+                self._build_train_epoch(), "train_epoch")
         perm, bvalid = self._pad_indices(indices, self.cfg.batch_size,
                                          shuffle_rng)
         perm, bvalid = self._device_indices(perm, bvalid)
@@ -397,7 +422,8 @@ class Trainer:
         from ..data.pipeline import BatchPrefetcher
 
         if self._train_step_fn is None:
-            self._train_step_fn = self._build_train_step()
+            self._train_step_fn = self._maybe_aot(
+                self._build_train_step(), "train_step")
         perm, bvalid = self._pad_indices(indices, self.cfg.batch_size,
                                          shuffle_rng)
 
@@ -439,7 +465,8 @@ class Trainer:
         from ..data.pipeline import BatchPrefetcher
 
         if self._eval_step_fn is None:
-            self._eval_step_fn = self._build_eval_step()
+            self._eval_step_fn = self._maybe_aot(
+                self._build_eval_step(), "eval_step")
         idx, bvalid = self._pad_indices(indices, self.cfg.eval_batch_size,
                                         None)
 
@@ -480,7 +507,7 @@ class Trainer:
     def evaluate(self, state, data, indices):
         """Pooled C-index / mean loss / per-sample hazards over `indices`."""
         if self._eval_fn is None:
-            self._eval_fn = self._build_eval()
+            self._eval_fn = self._maybe_aot(self._build_eval(), "eval_scan")
         idx, bvalid = self._pad_indices(indices, self.cfg.eval_batch_size,
                                         None)
         idx, bvalid = self._device_indices(idx, bvalid)

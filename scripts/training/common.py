@@ -83,6 +83,14 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "onto the device (for cohorts exceeding HBM); same "
                         "trajectory as the default device-resident scan "
                         "epoch, which is faster whenever the data fits")
+    p.add_argument("--aot-cache", default=None, metavar="DIR",
+                   help="persist compiled epoch/eval executables to DIR "
+                        "(io/aot_cache.py): a later run with the same "
+                        "program + shapes loads them and skips "
+                        "tracing+lowering+XLA compile — on the remote-TPU "
+                        "tunnel that is minutes per program. Per-machine "
+                        "cache; results unchanged (failures fall back to a "
+                        "normal compile). Sequential driver only")
     return p
 
 
@@ -162,12 +170,12 @@ def run_training(args, cfg):
 
     if args.fold_parallel:
         if args.mesh or args.tp > 1 or args.resume or args.profile_dir \
-                or args.streaming or args.sharded_risk_set:
+                or args.streaming or args.sharded_risk_set or args.aot_cache:
             raise SystemExit(
                 "--fold-parallel is mutually exclusive with --mesh/--tp/"
-                "--resume/--profile-dir/--streaming/--sharded-risk-set (use "
-                "the sequential driver for those; fold-parallel implies a "
-                "device-resident cohort)")
+                "--resume/--profile-dir/--streaming/--sharded-risk-set/"
+                "--aot-cache (use the sequential driver for those; "
+                "fold-parallel implies a device-resident cohort)")
         from multimodal_survival_prediction_tpu.train.cv_parallel import (
             make_fold_mesh,
             run_cross_validation_parallel,
@@ -200,6 +208,7 @@ def run_training(args, cfg):
         profile_dir=args.profile_dir,
         resume=args.resume, checkpoint_every=args.checkpoint_every,
         streaming=args.streaming, sharded_risk_set=args.sharded_risk_set,
+        aot_cache_dir=args.aot_cache,
     )
     print(f"\n{cfg.display_name}: C-index "
           f"{payload['c_index_mean']:.4f} ± {payload['c_index_std']:.4f}")

@@ -41,7 +41,8 @@ def main():
                             ("--profile-dir", args.profile_dir, None),
                             ("--streaming", args.streaming, False),
                             ("--sharded-risk-set",
-                             args.sharded_risk_set, False)):
+                             args.sharded_risk_set, False),
+                            ("--aot-cache", args.aot_cache, None)):
         if val != none:
             raise SystemExit(f"{flag} is not supported by the sweep driver "
                              f"(candidates parallelize via --sweep-mesh)")

@@ -114,6 +114,88 @@ def test_mesh_sharded_program_roundtrips(tmp_path):
     assert float(loaded(xs)) == want
 
 
+def test_aot_cached_function_specializes_per_shape(tmp_path):
+    # the Trainer-facing wrapper: one disk entry per call signature,
+    # dispatched transparently like jit's own in-memory cache
+    f = aot_cache.AOTCachedFunction(_fn(), tmp_path, tag="t")
+    x4, y = _args(4)
+    x6, _ = _args(6)
+    np.testing.assert_allclose(np.asarray(f(x4, y)),
+                               np.asarray(_fn()(x4, y)))
+    np.testing.assert_allclose(np.asarray(f(x6, y)),
+                               np.asarray(_fn()(x6, y)))
+    assert len(f.info) == 2
+    assert all(v["source"] == "compile" for v in f.info.values())
+    # repeat call: in-memory dispatch, no new entries
+    f(x4, y)
+    assert len(f.info) == 2
+    # a FRESH wrapper (fresh process stand-in) loads both from disk
+    g = aot_cache.AOTCachedFunction(_fn(), tmp_path, tag="t")
+    np.testing.assert_allclose(np.asarray(g(x4, y)),
+                               np.asarray(_fn()(x4, y)))
+    g(x6, y)
+    assert all(v["source"] == "cache" for v in g.info.values())
+
+
+def test_trainer_aot_cache_matches_uncached(tmp_path):
+    """Trainer(aot_cache_dir=...) — the --aot-cache CLI path — must (a)
+    reproduce the uncached trainer's trajectory exactly, (b) persist its
+    scan-epoch/eval executables, and (c) let a FRESH trainer load them
+    instead of recompiling."""
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.models import RNASeqSurvivalModel
+    from multimodal_survival_prediction_tpu.train.engine import (
+        TrainConfig,
+        Trainer,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 20, 32
+    host = {
+        "rnaseq": rng.normal(size=(n, d)).astype(np.float32),
+        "time": rng.exponential(300.0, size=n).astype(np.float32),
+        "event": (rng.uniform(size=n) < 0.7).astype(np.float32),
+        "svalid": np.ones(n, np.float32),
+    }
+    host["event"][:3] = 1.0
+    data = {k: jnp.asarray(v) for k, v in host.items()}
+    model = RNASeqSurvivalModel(hidden_dims=(16,))
+    cfg = TrainConfig(batch_size=8)
+
+    def run(cache_dir):
+        tr = Trainer(model, lambda b: (b["rnaseq"],), None, cfg,
+                     aot_cache_dir=cache_dir)
+        example = {k: v[:8] for k, v in host.items()}
+        example["valid"] = example["svalid"]
+        state = tr.init_state(example, fold=1)
+        for _ in range(2):
+            state, loss = tr.train_epoch(state, data, np.arange(n),
+                                         np.random.default_rng(9), 1e-3,
+                                         jax.random.PRNGKey(1))
+        ci, mloss, _ = tr.evaluate(state, data, np.arange(n))
+        return jax.device_get(state.params), loss, ci, mloss, tr
+
+    p0, l0, c0, m0, _ = run(None)
+    p1, l1, c1, m1, tr1 = run(tmp_path)
+    assert (l0, c0, m0) == (l1, c1, m1)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(a, b)
+    assert all(v["source"] == "compile"
+               for v in tr1._train_epoch_fn.info.values())
+    assert list(tmp_path.glob("*.jaxexe"))  # persisted
+
+    p2, l2, c2, m2, tr2 = run(tmp_path)  # fresh trainer, warm cache
+    assert (l1, c1, m1) == (l2, c2, m2)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(a, b)
+    assert all(v["source"] == "cache"
+               for v in tr2._train_epoch_fn.info.values())
+    assert all(v["source"] == "cache" for v in tr2._eval_fn.info.values())
+
+
 def test_store_failure_still_returns_compiled(tmp_path, monkeypatch):
     f = _fn()
     x, y = _args()
