@@ -44,6 +44,16 @@ Also emitted:
 Each extra train program is a multi-minute uncacheable remote compile, hence
 ONE default train phase.
 
+AOT executable cache (io/aot_cache.py): the remote tunnel's compiles are
+not captured by XLA's persistent cache, but the COMPILED executable is
+serialized to `.bench_aot_cache/` and a later bench process on the same
+machine loads it in milliseconds — so a pre-warmed bench run makes the
+next run's train phases nearly compile-free, and the budget probe then
+runs the scan-epoch phase live instead of skipping it. Fail-open (any
+cache problem falls back to a normal compile; measured steady-state
+timing is unaffected either way). BENCH_AOT_CACHE=0 disables; set a path
+to relocate the cache.
+
 vs_baseline: ratio to the reference pipeline's epoch throughput measured on
 THIS machine's CPU (torch fwd+bwd step + per-sample host normalize+zoom that
 the reference redoes every epoch; benchmarks/torch_reference.py), in
@@ -72,6 +82,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 CACHE = Path(__file__).resolve().parent / "BENCH_BASELINE_CACHE.json"
 
+# Disk-backed AOT executable cache (see module docstring). Per-machine, like
+# a ccache dir (io/aot_cache.py refuses entries on any env drift), so it is
+# gitignored; a cold cache simply behaves like round 2's bench.
+_aot_env = os.environ.get("BENCH_AOT_CACHE", "")
+AOT_DIR = (None if _aot_env == "0" else _aot_env
+           or str(Path(__file__).resolve().parent / ".bench_aot_cache"))
+
 N_PATIENTS = 608  # flagship epoch size (348 labeled + 260 unlabeled)
 N_IMAGING = 142
 BATCH = 8           # reference flagship batch size (per fold)
@@ -87,6 +104,9 @@ PEAK_FLOPS = {"tpu": 197e12}  # v5e bf16 peak (per chip)
 # compile; override with BENCH_BUDGET_SEC.
 BUDGET_SEC = float(os.environ.get("BENCH_BUDGET_SEC", "480"))
 SCAN_EPOCH_EST_SEC = 700  # ~10+ min of remote compiles + run (docs/PERF.md)
+# when the scan-epoch executable is already in the AOT cache: cohort
+# device_put (~330 MB over the link) + trace/lower + measurement only
+SCAN_EPOCH_WARM_EST_SEC = 240
 
 # Hard deadline for the ONE-JSON-LINE invariant. A DOWN axon tunnel blocks
 # the process's FIRST backend use (jax.default_backend / jax.devices) for
@@ -274,6 +294,20 @@ def measure_train_steps_per_sec(dtype=None, folds=1, batch=HEADLINE_BATCH,
             jax.random.fold_in(key, seed), K * folds).reshape(K, folds, 2)
 
     step = jax.jit(chunk, donate_argnums=(0, 1, 2))
+    if AOT_DIR:
+        # disk-backed executable cache: a pre-warmed run already paid this
+        # program's multi-minute remote compile; donation/aliasing is baked
+        # into the serialized executable. Fail-open on any cache problem.
+        from multimodal_survival_prediction_tpu.io.aot_cache import (
+            cached_compile,
+        )
+        step, aot_info = cached_compile(
+            step, params, batch_stats, opt_state, data_b, step_keys(0),
+            cache_dir=AOT_DIR,
+            extra_meta={"program": "bench_chunk", "dtype": dkey,
+                        "folds": folds, "batch": batch})
+        print(f"[bench] chunk({dkey},folds={folds},bs={batch}) aot-cache "
+              f"{aot_info['source']}", file=sys.stderr)
     # compile + warmup/discard. SYNC VIA VALUE READBACK, NOT
     # block_until_ready: on the axon backend block_until_ready returns
     # BEFORE the computation finishes (measured: "block" 8.6 ms, then the
@@ -426,10 +460,29 @@ def measure_scan_epoch_patients_per_sec(timed_epochs=3):
     data_np = _example_batch(N_PATIENTS, IMAGE_SHAPE, RNA_DIM)
     data = {k: jnp.asarray(v) for k, v in data_np.items() if k != "valid"}
     trainer = Trainer(model, batch_to_inputs, hazard_and_aux,
-                      TrainConfig(batch_size=cfg.batch_size))
-    state = trainer.init_state(
-        {**{k: v[:cfg.batch_size] for k, v in data.items()},
-         "valid": data["svalid"][:cfg.batch_size]})
+                      TrainConfig(batch_size=cfg.batch_size),
+                      aot_cache_dir=AOT_DIR)
+    # zeros-materialized state, same trick as the chunk bench: the real
+    # 121-layer init is its own multi-minute remote compile/dispatch storm,
+    # and param VALUES are irrelevant to throughput (TPU matmul time is
+    # data-independent; Cox/gate losses stay finite on zero hazards)
+    from multimodal_survival_prediction_tpu.train.engine import TrainState
+    example = {**{k: v[:cfg.batch_size] for k, v in data_np.items()},
+               "valid": data_np["svalid"][:cfg.batch_size]}
+    rng = jax.random.PRNGKey(0)
+    inputs = batch_to_inputs(example)
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": rng, "dropout": rng}, *inputs,
+                           train=False))
+    variables = jax.device_put(jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes))
+    opt_state = jax.device_put(jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype),
+        jax.eval_shape(trainer.tx.init, shapes["params"])))
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32))
     rows = np.arange(N_PATIENTS)
     shuffle = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
@@ -440,6 +493,33 @@ def measure_scan_epoch_patients_per_sec(timed_epochs=3):
             state, data, rows, shuffle, 1e-4, key)
     dt = time.perf_counter() - t0
     return timed_epochs * N_PATIENTS / dt
+
+
+def _scan_epoch_cache_warm():
+    """True iff the scan-epoch train program's executable is already in the
+    AOT cache for the CURRENT environment — the flagship Trainer stores it
+    with meta {program: train_epoch, model: PartialModalityNet} plus the
+    env fingerprint, and io/aot_cache refuses any fingerprint drift, so a
+    warm prediction can only be wrong if the engine's program itself
+    changed since the cache was written (then the phase pays the compile;
+    main() extends the watchdog before entering it)."""
+    if not AOT_DIR:
+        return False
+    try:
+        from multimodal_survival_prediction_tpu.io.aot_cache import (
+            _env_fingerprint,
+        )
+
+        env = _env_fingerprint()
+        for m in Path(AOT_DIR).glob("*.meta.json"):
+            j = json.loads(m.read_text())
+            if (j.get("program") == "train_epoch"
+                    and j.get("model") == "PartialModalityNet"
+                    and all(j.get(k) == v for k, v in env.items())):
+                return True
+    except Exception:
+        pass
+    return False
 
 
 def reference_baseline(refresh=False):
@@ -545,8 +625,16 @@ def main():
     scan_probe = None
     elapsed = time.perf_counter() - t_start
     remaining = BUDGET_SEC - elapsed
-    if os.environ.get("BENCH_SCAN_EPOCH") == "1" or (
-            remaining > SCAN_EPOCH_EST_SEC):
+    scan_warm = _scan_epoch_cache_warm()
+    scan_est = SCAN_EPOCH_WARM_EST_SEC if scan_warm else SCAN_EPOCH_EST_SEC
+    if os.environ.get("BENCH_SCAN_EPOCH") == "1" or remaining > scan_est:
+        # re-arm the watchdog with headroom for the phase's WORST case (a
+        # wrongly-predicted warm cache still pays the full compile) — a
+        # late JSON line beats the watchdog's 0.0 line
+        watchdog.cancel()
+        watchdog = _start_watchdog(SCAN_EPOCH_EST_SEC + 120)
+        print(f"[bench] scan epoch: aot-cache "
+              f"{'warm' if scan_warm else 'cold'}", file=sys.stderr)
         scan_patients_per_sec = _try(
             "scan_epoch", measure_scan_epoch_patients_per_sec)
         print(f"[bench] scan epoch: {scan_patients_per_sec} patients/s",
@@ -555,7 +643,8 @@ def main():
         scan_probe = {
             "elapsed_sec": round(elapsed, 1),
             "budget_sec": BUDGET_SEC,
-            "est_cost_sec": SCAN_EPOCH_EST_SEC,
+            "est_cost_sec": scan_est,
+            "aot_cache_warm": scan_warm,
             "reason": "whole-epoch scan is a fresh multi-minute remote "
                       "compile (not captured by the persistent cache on "
                       "this tunnel); remaining budget too small — see "

@@ -33,3 +33,35 @@ def test_bench_watchdog_emits_json_and_exits(tmp_path):
     assert payload["metric"] == "partial_modality_epoch_throughput"
     assert payload["value"] == 0.0
     assert "watchdog" in payload["errors"][0]
+
+
+def test_scan_epoch_cache_warm_detection(tmp_path, monkeypatch):
+    """bench._scan_epoch_cache_warm gates the opportunistic scan-epoch phase
+    on a pre-warmed AOT executable cache: it must require the train_epoch
+    program tag, the flagship model, AND an exact env-fingerprint match
+    (anything else risks re-arming the watchdog for a phase that then pays
+    a full remote compile)."""
+    import bench
+    from multimodal_survival_prediction_tpu.io.aot_cache import (
+        _env_fingerprint,
+    )
+
+    monkeypatch.setattr(bench, "AOT_DIR", str(tmp_path))
+    assert bench._scan_epoch_cache_warm() is False  # empty cache
+
+    env = _env_fingerprint()
+    (tmp_path / "a.meta.json").write_text(json.dumps(
+        {"program": "bench_chunk", "model": "PartialModalityNet", **env}))
+    assert bench._scan_epoch_cache_warm() is False  # wrong program tag
+
+    (tmp_path / "b.meta.json").write_text(json.dumps(
+        {"program": "train_epoch", "model": "PartialModalityNet", **env}))
+    assert bench._scan_epoch_cache_warm() is True
+
+    (tmp_path / "b.meta.json").write_text(json.dumps(
+        {"program": "train_epoch", "model": "PartialModalityNet",
+         **{**env, "jax": "0.0.0-other"}}))
+    assert bench._scan_epoch_cache_warm() is False  # env drift
+
+    monkeypatch.setattr(bench, "AOT_DIR", None)
+    assert bench._scan_epoch_cache_warm() is False  # disabled
