@@ -26,12 +26,14 @@ Also emitted:
     is measured against the device path (ship the 84 MB int16 volume over
     the link); the link bandwidth probe and both numbers are emitted, and
     the headline preprocess number is the selected path's.
-  * BENCH_FOLD_PARALLEL=1 (opt-in): the 5-fold vmapped chunk
-    (train/cv_parallel.py's compute pattern, reference hyperparameters,
-    bs=8 PER FOLD). Measured live 2026-08-17: 24.0 vmapped steps/s =
-    960.9 patients/s — per-fold params make the convs GROUPED, so this
-    path amortizes dispatch/Python overhead (its win over the sequential
-    driver) but cannot batch the MXU like bs=32 does; docs/PERF.md.
+  * BENCH_FOLD_PARALLEL=1 (opt-in), or automatic when its executable is
+    already warm in the AOT cache and budget remains: the 5-fold vmapped
+    chunk (train/cv_parallel.py's compute pattern, reference
+    hyperparameters, bs=8 PER FOLD). Measured live 2026-08-17: 24.0
+    vmapped steps/s = 960.9 patients/s — per-fold params make the convs
+    GROUPED, so this path amortizes dispatch/Python overhead (its win over
+    the sequential driver) but cannot batch the MXU like bs=32 does;
+    docs/PERF.md.
   * BENCH_BS8=1 (opt-in): the round-2 single-fold bs=8 chunk.
   * BENCH_BS32=1 (opt-in): the round-3 bs=32 chunk (58.99 steps/s = 12.8%
     MFU measured live 2026-08-17), for continuity with BENCH_r03 history.
@@ -107,6 +109,10 @@ SCAN_EPOCH_EST_SEC = 700  # ~10+ min of remote compiles + run (docs/PERF.md)
 # when the scan-epoch executable is already in the AOT cache: cohort
 # device_put (~330 MB over the link) + trace/lower + measurement only
 SCAN_EPOCH_WARM_EST_SEC = 240
+# fold-parallel chunk: cold = its own multi-minute remote compile (opt-in
+# only); warm = exe load + 5-fold zeros-state device_put + timed dispatches
+FOLD_PARALLEL_EST_SEC = 420
+FOLD_PARALLEL_WARM_EST_SEC = 150
 
 # Hard deadline for the ONE-JSON-LINE invariant. A DOWN axon tunnel blocks
 # the process's FIRST backend use (jax.default_backend / jax.devices) for
@@ -495,14 +501,14 @@ def measure_scan_epoch_patients_per_sec(timed_epochs=3):
     return timed_epochs * N_PATIENTS / dt
 
 
-def _scan_epoch_cache_warm():
-    """True iff the scan-epoch train program's executable is already in the
-    AOT cache for the CURRENT environment — the flagship Trainer stores it
-    with meta {program: train_epoch, model: PartialModalityNet} plus the
-    env fingerprint, and io/aot_cache refuses any fingerprint drift, so a
-    warm prediction can only be wrong if the engine's program itself
-    changed since the cache was written (then the phase pays the compile;
-    main() extends the watchdog before entering it)."""
+def _cache_warm(**tags):
+    """True iff an AOT-cache entry matches ALL `tags` in the CURRENT
+    environment — the trainer/bench store executables with meta tags
+    (program/model/dtype/folds/batch) plus the env fingerprint, and
+    io/aot_cache refuses any fingerprint drift, so a warm prediction can
+    only be wrong if the program itself changed since the cache was
+    written (then the phase pays the compile; main() re-arms the watchdog
+    with cold-compile headroom before entering any warm-gated phase)."""
     if not AOT_DIR:
         return False
     try:
@@ -513,13 +519,17 @@ def _scan_epoch_cache_warm():
         env = _env_fingerprint()
         for m in Path(AOT_DIR).glob("*.meta.json"):
             j = json.loads(m.read_text())
-            if (j.get("program") == "train_epoch"
-                    and j.get("model") == "PartialModalityNet"
+            if (all(j.get(k) == v for k, v in tags.items())
                     and all(j.get(k) == v for k, v in env.items())):
                 return True
     except Exception:
         pass
     return False
+
+
+def _scan_epoch_cache_warm():
+    """Warm-cache check for the flagship Trainer's scan-epoch program."""
+    return _cache_warm(program="train_epoch", model="PartialModalityNet")
 
 
 def reference_baseline(refresh=False):
@@ -651,6 +661,27 @@ def main():
                       "docs/PERF.md for the measured 901.7 patients/s, or "
                       "set BENCH_SCAN_EPOCH=1",
         }
+
+    # ---- opportunistic fold-parallel phase: only when its executable is
+    # already warm in the AOT cache AND the remaining budget covers the
+    # warm cost (never run cold here — that is a multi-minute remote
+    # compile, reachable via BENCH_FOLD_PARALLEL=1) ----
+    if fold_steps is None:
+        elapsed = time.perf_counter() - t_start
+        fold_warm = _cache_warm(program="bench_chunk", dtype="bf16",
+                                folds=FOLDS, batch=BATCH)
+        if fold_warm and BUDGET_SEC - elapsed > FOLD_PARALLEL_WARM_EST_SEC:
+            # worst case the warm prediction is stale (the chunk program
+            # changed): the phase pays the full compile — re-arm for it
+            watchdog.cancel()
+            watchdog = _start_watchdog(FOLD_PARALLEL_EST_SEC + 120)
+            print("[bench] fold-parallel: aot-cache warm, running "
+                  "opportunistically", file=sys.stderr)
+            r = _try("train_fold_parallel_bf16", measure_train_steps_per_sec,
+                     dtype=jnp.bfloat16, folds=FOLDS, batch=BATCH)
+            fold_steps, fold_flops, fold_src = r if r else (None, None, None)
+            print(f"[bench] fold-parallel bf16 (warm): {fold_steps} steps/s",
+                  file=sys.stderr)
 
     if (steps is None and fp32_steps is None and bs8_steps is None
             and bs32_steps is None and fold_steps is None):

@@ -65,3 +65,26 @@ def test_scan_epoch_cache_warm_detection(tmp_path, monkeypatch):
 
     monkeypatch.setattr(bench, "AOT_DIR", None)
     assert bench._scan_epoch_cache_warm() is False  # disabled
+
+
+def test_cache_warm_generalized_tag_matching(tmp_path, monkeypatch):
+    """bench._cache_warm gates the opportunistic fold-parallel phase on an
+    exact meta-tag match (program/dtype/folds/batch) — a warm bs=128
+    headline entry must NOT count as a warm 5-fold bs=8 entry."""
+    import bench
+    from multimodal_survival_prediction_tpu.io.aot_cache import (
+        _env_fingerprint,
+    )
+
+    monkeypatch.setattr(bench, "AOT_DIR", str(tmp_path))
+    env = _env_fingerprint()
+    (tmp_path / "hl.meta.json").write_text(json.dumps(
+        {"program": "bench_chunk", "dtype": "bf16", "folds": 1,
+         "batch": 128, **env}))
+    assert bench._cache_warm(program="bench_chunk", dtype="bf16",
+                             folds=5, batch=8) is False
+    (tmp_path / "fp.meta.json").write_text(json.dumps(
+        {"program": "bench_chunk", "dtype": "bf16", "folds": 5,
+         "batch": 8, **env}))
+    assert bench._cache_warm(program="bench_chunk", dtype="bf16",
+                             folds=5, batch=8) is True
