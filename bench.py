@@ -125,6 +125,10 @@ _OPT_INS = ("BENCH_BS32", "BENCH_BS8", "BENCH_FOLD_PARALLEL", "BENCH_FP32",
 WATCHDOG_SEC = float(os.environ.get(
     "BENCH_WATCHDOG_SEC",
     str(540 + 360 * sum(os.environ.get(v) == "1" for v in _OPT_INS))))
+# An EXPLICIT BENCH_WATCHDOG_SEC is an absolute deadline the user owns:
+# phase re-arms must preserve it (re-arm to the REMAINING user budget),
+# not replace it with a phase estimate in either direction.
+WATCHDOG_EXPLICIT = "BENCH_WATCHDOG_SEC" in os.environ
 
 
 def _start_watchdog(deadline_sec: float):
@@ -149,6 +153,17 @@ def _start_watchdog(deadline_sec: float):
     t.daemon = True
     t.start()
     return t
+
+
+def _rearm_watchdog(watchdog, phase_est_sec: float, elapsed_sec: float):
+    """Re-arm before a budget-gated phase whose worst case (a stale warm
+    prediction paying the full compile) exceeds the default deadline.
+    With an EXPLICIT BENCH_WATCHDOG_SEC the user's absolute deadline wins:
+    re-arm to the remaining user budget instead of the phase estimate."""
+    watchdog.cancel()
+    if WATCHDOG_EXPLICIT:
+        return _start_watchdog(max(WATCHDOG_SEC - elapsed_sec, 1.0))
+    return _start_watchdog(phase_est_sec)
 
 
 # FLOPs per train step from compiled.cost_analysis() of the exact programs
@@ -498,17 +513,47 @@ def measure_scan_epoch_patients_per_sec(timed_epochs=3):
         state, loss = trainer.train_epoch(
             state, data, rows, shuffle, 1e-4, key)
     dt = time.perf_counter() - t0
+    _write_scan_epoch_marker(trainer)
     return timed_epochs * N_PATIENTS / dt
+
+
+SCAN_EPOCH_MARKER = "bench_scan_epoch.keys.json"
+
+
+def _write_scan_epoch_marker(trainer):
+    """Record the exact AOT-cache keys THIS bench's scan-epoch program hit,
+    so the next run's warm prediction checks those entries specifically.
+    Generic meta-tag matching is not enough here: a training CLI sharing the
+    cache dir writes {program: train_epoch, model: PartialModalityNet}
+    entries for its own (different) fold shapes, which would predict 'warm'
+    for a program this bench has never compiled."""
+    if not AOT_DIR:
+        return
+    try:
+        info = getattr(trainer._train_epoch_fn, "info", None)
+        if not info:
+            return
+        from multimodal_survival_prediction_tpu.io.aot_cache import (
+            _env_fingerprint,
+        )
+        keys = sorted({v["key"] for v in info.values()})
+        (Path(AOT_DIR) / SCAN_EPOCH_MARKER).write_text(json.dumps(
+            {"keys": keys, "env": _env_fingerprint()}))
+    except Exception as e:  # marker is an optimization, never a failure
+        print(f"[bench] scan-epoch marker write failed: {e}",
+              file=sys.stderr)
 
 
 def _cache_warm(**tags):
     """True iff an AOT-cache entry matches ALL `tags` in the CURRENT
-    environment — the trainer/bench store executables with meta tags
-    (program/model/dtype/folds/batch) plus the env fingerprint, and
-    io/aot_cache refuses any fingerprint drift, so a warm prediction can
-    only be wrong if the program itself changed since the cache was
+    environment. The tags must be specific enough to pin the program:
+    bench_chunk entries are written ONLY by this bench with exact
+    program/dtype/folds/batch tags, so for those a warm prediction can
+    only be wrong if the chunk program's code changed since the cache was
     written (then the phase pays the compile; main() re-arms the watchdog
-    with cold-compile headroom before entering any warm-gated phase)."""
+    with cold-compile headroom before entering any warm-gated phase).
+    Trainer-written tags (train_epoch/model/batch_size) do NOT pin data
+    shapes — use :func:`_scan_epoch_cache_warm`'s key marker for those."""
     if not AOT_DIR:
         return False
     try:
@@ -528,8 +573,31 @@ def _cache_warm(**tags):
 
 
 def _scan_epoch_cache_warm():
-    """Warm-cache check for the flagship Trainer's scan-epoch program."""
-    return _cache_warm(program="train_epoch", model="PartialModalityNet")
+    """Warm-cache check for THIS bench's scan-epoch program: the marker a
+    previous successful scan-epoch run wrote records the exact cache keys
+    that program hit; warm means every one still has its executable and
+    the env fingerprint matches. A trainer CLI sharing the cache dir
+    writes same-tagged entries for DIFFERENT fold shapes, so generic tag
+    matching would predict warm for a never-compiled program and blow the
+    budget gate by a full remote compile."""
+    if not AOT_DIR:
+        return False
+    try:
+        from multimodal_survival_prediction_tpu.io.aot_cache import (
+            _env_fingerprint,
+        )
+
+        marker = Path(AOT_DIR) / SCAN_EPOCH_MARKER
+        if not marker.exists():
+            return False
+        j = json.loads(marker.read_text())
+        if j.get("env") != _env_fingerprint():
+            return False
+        keys = j.get("keys") or []
+        return bool(keys) and all(
+            (Path(AOT_DIR) / f"{k}.jaxexe").exists() for k in keys)
+    except Exception:
+        return False
 
 
 def reference_baseline(refresh=False):
@@ -641,8 +709,8 @@ def main():
         # re-arm the watchdog with headroom for the phase's WORST case (a
         # wrongly-predicted warm cache still pays the full compile) — a
         # late JSON line beats the watchdog's 0.0 line
-        watchdog.cancel()
-        watchdog = _start_watchdog(SCAN_EPOCH_EST_SEC + 120)
+        watchdog = _rearm_watchdog(watchdog, SCAN_EPOCH_EST_SEC + 120,
+                                   elapsed)
         print(f"[bench] scan epoch: aot-cache "
               f"{'warm' if scan_warm else 'cold'}", file=sys.stderr)
         scan_patients_per_sec = _try(
@@ -673,8 +741,8 @@ def main():
         if fold_warm and BUDGET_SEC - elapsed > FOLD_PARALLEL_WARM_EST_SEC:
             # worst case the warm prediction is stale (the chunk program
             # changed): the phase pays the full compile — re-arm for it
-            watchdog.cancel()
-            watchdog = _start_watchdog(FOLD_PARALLEL_EST_SEC + 120)
+            watchdog = _rearm_watchdog(watchdog, FOLD_PARALLEL_EST_SEC + 120,
+                                       elapsed)
             print("[bench] fold-parallel: aot-cache warm, running "
                   "opportunistically", file=sys.stderr)
             r = _try("train_fold_parallel_bf16", measure_train_steps_per_sec,

@@ -149,8 +149,15 @@ def build_cohort_arrays(
         # NaN-guard like `time`: the loss masks invalid rows by MULTIPLYING
         # event by svalid (ops/cox.py), and 0 * NaN is NaN — one unlabeled
         # row with a NaN status in a user-supplied table would poison every
-        # batch containing it.
+        # batch containing it. A LABELED row (has_survival) with NaN status
+        # is contradictory upstream data, not a maskable gap — zero-filling
+        # it would silently train the row as censored, so fail loudly.
         ev = row.survival_status
+        if pd.isna(ev) and bool(row.has_survival):
+            raise ValueError(
+                f"patient {pid}: has_survival is set but survival_status "
+                "is NaN — fix the matching table (a labeled row cannot "
+                "have an undefined event status)")
         arrays["event"][i] = 0.0 if pd.isna(ev) else float(ev)
         arrays["svalid"][i] = float(bool(row.has_survival))
 

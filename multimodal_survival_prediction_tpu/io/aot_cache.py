@@ -5,9 +5,12 @@ lowering + XLA compilation for every program it jits, and on this
 environment's remote-TPU tunnel a single train/score program costs 3-5
 minutes to compile and is NOT captured by XLA's persistent compilation
 cache (CLAUDE.md).  `jax.experimental.serialize_executable` pickles the
-COMPILED PJRT executable; reloading it skips tracing, lowering, and
-compilation entirely, so a fleet of scoring processes can share one paid
-compile.  The torch reference has no ahead-of-time story at all (eager
+COMPILED PJRT executable; reloading it skips the XLA compile, so a fleet
+of scoring processes can share one paid compile.  (A warm process still
+pays Python tracing + StableHLO lowering — :func:`cached_compile` derives
+the cache key from the lowered program — which is seconds of host work,
+vs minutes for the remote compile it skips.)  The torch reference has no
+ahead-of-time story at all (eager
 per-call dispatch, reference README.md:386-399 load-and-eval snippet);
 this is a capability the TPU rebuild adds.
 
@@ -152,11 +155,14 @@ def load_executable(cache_dir, key):
 
 def _args_signature(args, kwargs=None):
     """Shape/dtype/treedef signature of a concrete call — the dispatch key
-    for :class:`AOTCachedFunction` (mirrors what makes jit re-trace)."""
+    for :class:`AOTCachedFunction` (mirrors what makes jit re-trace).
+    Runs per call on hot paths (streaming per-step training), so it keys on
+    the treedef OBJECT (hashable, cached by jax) rather than stringifying a
+    multi-KB treedef repr for a ~2k-leaf TrainState every step."""
     leaves, treedef = jax.tree_util.tree_flatten((args, kwargs or {}))
-    return (str(treedef),
-            tuple((tuple(getattr(x, "shape", ())),
-                   str(getattr(x, "dtype", type(x).__name__)))
+    return (treedef,
+            tuple((getattr(x, "shape", ()),
+                   getattr(x, "dtype", None) or type(x).__name__)
                   for x in leaves))
 
 

@@ -66,9 +66,8 @@ def load_torch_state_dict(path) -> dict:
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(obj, dict) and "state_dict" in obj and all(
-            not torch.is_tensor(v) for k, v in obj.items()
-            if k == "state_dict"):
+    if (isinstance(obj, dict) and "state_dict" in obj
+            and not torch.is_tensor(obj["state_dict"])):
         obj = obj["state_dict"]
     return {
         (k[len("module."):] if k.startswith("module.") else k):

@@ -49,13 +49,14 @@ class RiskScorer:
         remote tunnel; image-FREE families (e.g. rnaseq_only) always use
         the image-less program — it is their only one.
       aot_cache_dir: directory for the compiled-executable cache
-        (io/aot_cache.py). The FIRST scorer process pays the compile and
-        persists the executable; every later process with the same program
-        (model/batch/shapes — checkpoints are runtime arguments, so fold
-        rotation does NOT invalidate it) loads it and skips tracing,
-        lowering, and XLA compilation entirely — on the remote-TPU tunnel
-        that is the difference between minutes and milliseconds of warmup.
-        `self.aot_info` records hit/miss per program.
+        (io/aot_cache.py). The FIRST scorer process pays the XLA compile
+        and persists the executable; every later process with the same
+        program (model/batch/shapes — checkpoints are runtime arguments,
+        so fold rotation does NOT invalidate it) skips the compile — on
+        the remote-TPU tunnel that is minutes per program. A warm start
+        still pays Python tracing + StableHLO lowering (the cache key is
+        the lowered program), seconds of host work for the 121-layer
+        model. `self.aot_info` records hit/miss per program.
     """
 
     def __init__(self, model_name: str, checkpoint_path,
@@ -202,6 +203,11 @@ class RiskScorer:
         enabled); the compile path is byte-for-byte the jit the cache
         replaces, so a disabled/failed cache only costs time."""
         if not self.aot_cache_dir:
+            return jitted
+        if not hasattr(jitted, "lower"):
+            # already swapped for a loaded/compiled executable by an earlier
+            # warmup — keep warmup()/warmup_no_image() idempotent (a second
+            # defensive call must not feed a Compiled back into lower())
             return jitted
         from .io.aot_cache import cached_compile
 

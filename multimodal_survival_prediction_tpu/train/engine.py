@@ -149,11 +149,12 @@ class Trainer:
             dict(mesh.shape).get("model", 1) > 1)
         # aot_cache_dir: persist the compiled scan-epoch executables to disk
         # (io/aot_cache.py) so a LATER PROCESS with the same program + shapes
-        # skips tracing/lowering/XLA-compile entirely — on the remote-TPU
-        # tunnel each scan program is a multi-minute compile that XLA's
-        # persistent cache does not capture. Per-machine cache; results are
-        # unchanged (same executables XLA would produce; any cache failure
-        # falls back to a normal compile).
+        # skips the XLA compile — on the remote-TPU tunnel each scan program
+        # is a multi-minute compile that XLA's persistent cache does not
+        # capture (tracing + lowering still run to derive the cache key:
+        # seconds of host work). Per-machine cache; results are unchanged
+        # (same executables XLA would produce; any cache failure falls back
+        # to a normal compile).
         self.aot_cache_dir = aot_cache_dir
         self._extra_collections = {}
         self._train_epoch_fn = None

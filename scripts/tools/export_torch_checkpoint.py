@@ -39,7 +39,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import numpy as np  # noqa: F401
+    import numpy as np
 
     from multimodal_survival_prediction_tpu.config import ALL_CONFIGS
     from multimodal_survival_prediction_tpu.io.checkpoint import (
@@ -78,7 +78,6 @@ def main():
         lambda: model.init({"params": jax.random.PRNGKey(0),
                             "dropout": jax.random.PRNGKey(0)},
                            *batch_to_inputs(b), train=False))
-    import numpy as np
     target = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype),
                                     dict(shapes))
     restored = load_checkpoint(args.checkpoint, {

@@ -37,10 +37,12 @@ def test_bench_watchdog_emits_json_and_exits(tmp_path):
 
 def test_scan_epoch_cache_warm_detection(tmp_path, monkeypatch):
     """bench._scan_epoch_cache_warm gates the opportunistic scan-epoch phase
-    on a pre-warmed AOT executable cache: it must require the train_epoch
-    program tag, the flagship model, AND an exact env-fingerprint match
-    (anything else risks re-arming the watchdog for a phase that then pays
-    a full remote compile)."""
+    on the key marker a previous successful scan-epoch run wrote: every
+    recorded key must still have its executable and the env fingerprint
+    must match. Generic train_epoch meta tags must NOT count — a training
+    CLI sharing the cache dir writes those for different fold shapes, and
+    a false warm prediction blows the budget gate by a full remote
+    compile."""
     import bench
     from multimodal_survival_prediction_tpu.io.aot_cache import (
         _env_fingerprint,
@@ -50,21 +52,46 @@ def test_scan_epoch_cache_warm_detection(tmp_path, monkeypatch):
     assert bench._scan_epoch_cache_warm() is False  # empty cache
 
     env = _env_fingerprint()
-    (tmp_path / "a.meta.json").write_text(json.dumps(
-        {"program": "bench_chunk", "model": "PartialModalityNet", **env}))
-    assert bench._scan_epoch_cache_warm() is False  # wrong program tag
-
+    # a trainer-written entry with matching tags but no bench marker:
+    # exactly the false-positive the marker exists to prevent
     (tmp_path / "b.meta.json").write_text(json.dumps(
         {"program": "train_epoch", "model": "PartialModalityNet", **env}))
+    assert bench._scan_epoch_cache_warm() is False
+
+    marker = tmp_path / bench.SCAN_EPOCH_MARKER
+    marker.write_text(json.dumps({"keys": ["k1"], "env": env}))
+    assert bench._scan_epoch_cache_warm() is False  # key's exe missing
+
+    (tmp_path / "k1.jaxexe").write_bytes(b"x")
     assert bench._scan_epoch_cache_warm() is True
 
-    (tmp_path / "b.meta.json").write_text(json.dumps(
-        {"program": "train_epoch", "model": "PartialModalityNet",
-         **{**env, "jax": "0.0.0-other"}}))
+    marker.write_text(json.dumps(
+        {"keys": ["k1"], "env": {**env, "jax": "0.0.0-other"}}))
     assert bench._scan_epoch_cache_warm() is False  # env drift
+
+    marker.write_text(json.dumps({"keys": [], "env": env}))
+    assert bench._scan_epoch_cache_warm() is False  # empty key list
 
     monkeypatch.setattr(bench, "AOT_DIR", None)
     assert bench._scan_epoch_cache_warm() is False  # disabled
+
+
+def test_scan_epoch_marker_written_from_trainer_info(tmp_path, monkeypatch):
+    """A successful scan-epoch measurement records the exact cache keys its
+    trainer program hit (bench._write_scan_epoch_marker)."""
+    import bench
+
+    class FakeFn:
+        info = {("sig",): {"source": "cache", "key": "abc", "path": "p"}}
+
+    class FakeTrainer:
+        _train_epoch_fn = FakeFn()
+
+    monkeypatch.setattr(bench, "AOT_DIR", str(tmp_path))
+    bench._write_scan_epoch_marker(FakeTrainer())
+    j = json.loads((tmp_path / bench.SCAN_EPOCH_MARKER).read_text())
+    assert j["keys"] == ["abc"]
+    assert j["env"]  # fingerprint recorded for drift detection
 
 
 def test_cache_warm_generalized_tag_matching(tmp_path, monkeypatch):

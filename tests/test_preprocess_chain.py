@@ -6,6 +6,7 @@ import json
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from multimodal_survival_prediction_tpu.data.datasets import (
     build_cohort_arrays,
@@ -110,3 +111,16 @@ def test_nan_survival_status_does_not_poison_arrays():
     np.testing.assert_array_equal(a["svalid"], [1.0, 0.0])
     for k, v in a.items():
         assert np.isfinite(v).all(), k
+
+
+def test_labeled_nan_survival_status_raises():
+    """A LABELED row (has_survival=True) with NaN survival_status is
+    contradictory upstream data: zero-filling it would silently train the
+    row as censored (label corruption), so the builder must fail loudly."""
+    table = pd.DataFrame([
+        {"patient_id": "P1", "age": 60.0, "survival_time": 400.0,
+         "survival_status": np.nan, "has_survival": True,
+         "has_rnaseq": False, "has_imaging": False},
+    ])
+    with pytest.raises(ValueError, match="survival_status"):
+        build_cohort_arrays(table, None, with_image=False)

@@ -287,4 +287,10 @@ def test_aot_cache_scorer_hit_matches_compile(checkpoint, tmp_path):
     other = checkpoint.parent / "fold_2_best.msgpack"
     s4 = RiskScorer("rnaseq_only", other, rna_dim=80, aot_cache_dir=cache)
     assert s4.aot_info["score_no_image"]["source"] == "cache"
-    assert np.isfinite(s4.score(rnaseq=rna, age=55)["risk_score"])
+    fold2_score = s4.score(rnaseq=rna, age=55)["risk_score"]
+    assert np.isfinite(fold2_score)
+
+    # warmup is idempotent with the cache on: a second (defensive) call
+    # must not feed the already-swapped Compiled back into lower()
+    s4.warmup_no_image()
+    assert s4.score(rnaseq=rna, age=55)["risk_score"] == fold2_score
