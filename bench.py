@@ -203,6 +203,41 @@ def _compiled_flops(compiled):
 STEPS_PER_DISPATCH = 64  # lax.scan chunk length of the timed train program
 
 
+def make_flagship_step(model, tx):
+    """(loss_fn, one_step) for the flagship train program — the SINGLE
+    source of truth for the loss composition (Cox on labeled samples +
+    0.01 x gate entropy on valid samples, reference
+    partial_modality_training.py:296-331) and the grad/clip/Adam update
+    that both this bench and benchmarks/probe_batch_scaling.py time.
+    Factored out so the probe's roofline numbers can never drift from the
+    program the bench headline actually measures."""
+    import jax
+    import optax
+
+    from multimodal_survival_prediction_tpu.ops.cox import (
+        cox_partial_likelihood,
+        gate_entropy_loss,
+    )
+
+    def loss_fn(p, bs, b, key):
+        (hazard, gates), mut = model.apply(
+            {"params": p, "batch_stats": bs},
+            b["image"], b["rnaseq"], b["clinical"], b["mask"], train=True,
+            rngs={"dropout": key}, mutable=["batch_stats"])
+        loss = cox_partial_likelihood(
+            hazard, b["time"], b["event"], valid=b["svalid"]
+        ) + 0.01 * gate_entropy_loss(gates, valid=b["valid"])
+        return loss, mut["batch_stats"]
+
+    def one_step(p, bs, opt, b, k):
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p, bs, b, k)
+        updates, new_opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), new_bs, new_opt, loss
+
+    return loss_fn, one_step
+
+
 def measure_train_steps_per_sec(dtype=None, folds=1, batch=HEADLINE_BATCH,
                                 timed_dispatches=3, discard=1):
     """Times a 64-step ``lax.scan`` chunk program, each step advancing
@@ -226,10 +261,6 @@ def measure_train_steps_per_sec(dtype=None, folds=1, batch=HEADLINE_BATCH,
 
     from __graft_entry__ import _example_batch
     from multimodal_survival_prediction_tpu.models import PartialModalityNet
-    from multimodal_survival_prediction_tpu.ops.cox import (
-        cox_partial_likelihood,
-        gate_entropy_loss,
-    )
 
     model = PartialModalityNet(dtype=dtype)
     one_np = _example_batch(batch, IMAGE_SHAPE, RNA_DIM)
@@ -263,22 +294,7 @@ def measure_train_steps_per_sec(dtype=None, folds=1, batch=HEADLINE_BATCH,
         lambda s: np.zeros((folds, *s.shape), s.dtype),
         jax.eval_shape(tx.init, shapes["params"])))
 
-    def loss_fn(p, bs, b, key):
-        (hazard, gates), mut = model.apply(
-            {"params": p, "batch_stats": bs},
-            b["image"], b["rnaseq"], b["clinical"], b["mask"], train=True,
-            rngs={"dropout": key}, mutable=["batch_stats"])
-        loss = cox_partial_likelihood(
-            hazard, b["time"], b["event"], valid=b["svalid"]
-        ) + 0.01 * gate_entropy_loss(gates, valid=b["valid"])
-        return loss, mut["batch_stats"]
-
-    def one_fold_step(p1, bs1, opt1, b1, k1):
-        (loss, new_bs), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(p1, bs1, b1, k1)
-        updates, new_opt = tx.update(grads, opt1, p1)
-        return optax.apply_updates(p1, updates), new_bs, new_opt, loss
-
+    _, one_fold_step = make_flagship_step(model, tx)
     vstep = jax.vmap(one_fold_step)
 
     def chunk(p, bs, opt, b, keys):
@@ -385,19 +401,26 @@ def measure_preprocess(device_budget_sec=15.0, host_reps=5):
     bw = probe_link_bandwidth()
     out["link_mb_per_sec"] = round(bw / 1e6, 1)
 
-    # ---- host C++ path ----
+    # ---- host C++ path (its failure must not discard the independent
+    # device/kernel sub-measurements below — same contract as the
+    # kernel-only try/except) ----
+    host_sec = None
     if native_available():
-        resample_normalize_host(vol, IMAGE_SHAPE)  # warm (page-in)
-        t0 = time.perf_counter()
-        for _ in range(host_reps):
-            res = resample_normalize_host(vol, IMAGE_SHAPE)
-        host_sec = (time.perf_counter() - t0) / host_reps
-        # end-to-end = resample + the 512 KB result crossing the link
-        host_e2e = 1.0 / (host_sec + out_bytes / bw)
-        out["host_vols_per_sec"] = round(host_e2e, 3)
-        del res
-    else:
-        host_sec = None
+        try:
+            resample_normalize_host(vol, IMAGE_SHAPE)  # warm (page-in)
+            t0 = time.perf_counter()
+            for _ in range(host_reps):
+                res = resample_normalize_host(vol, IMAGE_SHAPE)
+            host_sec = (time.perf_counter() - t0) / host_reps
+            # end-to-end = resample + the 512 KB result crossing the link
+            host_e2e = 1.0 / (host_sec + out_bytes / bw)
+            out["host_vols_per_sec"] = round(host_e2e, 3)
+            del res
+        except Exception:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            host_sec = None
 
     # ---- device path (end-to-end incl. host->device transfer) ----
     fn = (resample_normalize_pallas if jax.default_backend() == "tpu"
@@ -628,6 +651,12 @@ def reference_baseline(refresh=False):
 def main():
     import traceback
 
+    # An explicit BENCH_WATCHDOG_SEC is an absolute deadline from THIS
+    # moment (pre-backend-init) — re-arms must subtract everything since,
+    # including the minutes a sick tunnel can spend inside backend init
+    # (t_start below is only set after init and would silently extend the
+    # user's deadline by that much).
+    wd_armed_at = time.perf_counter()
     watchdog = _start_watchdog(WATCHDOG_SEC)
 
     import jax
@@ -688,7 +717,8 @@ def main():
 
     fp32_steps, fp32_flops, fp32_src = None, None, None
     if os.environ.get("BENCH_FP32") == "1":
-        r = _try("train_bs32_fp32", measure_train_steps_per_sec,
+        r = _try(f"train_bs{HEADLINE_BATCH}_fp32",
+                 measure_train_steps_per_sec,
                  folds=1, batch=HEADLINE_BATCH)
         fp32_steps, fp32_flops, fp32_src = r if r else (None, None, None)
         print(f"[bench] bs{HEADLINE_BATCH} fp32: {fp32_steps} steps/s",
@@ -710,7 +740,7 @@ def main():
         # wrongly-predicted warm cache still pays the full compile) — a
         # late JSON line beats the watchdog's 0.0 line
         watchdog = _rearm_watchdog(watchdog, SCAN_EPOCH_EST_SEC + 120,
-                                   elapsed)
+                                   time.perf_counter() - wd_armed_at)
         print(f"[bench] scan epoch: aot-cache "
               f"{'warm' if scan_warm else 'cold'}", file=sys.stderr)
         scan_patients_per_sec = _try(
@@ -742,7 +772,7 @@ def main():
             # worst case the warm prediction is stale (the chunk program
             # changed): the phase pays the full compile — re-arm for it
             watchdog = _rearm_watchdog(watchdog, FOLD_PARALLEL_EST_SEC + 120,
-                                       elapsed)
+                                       time.perf_counter() - wd_armed_at)
             print("[bench] fold-parallel: aot-cache warm, running "
                   "opportunistically", file=sys.stderr)
             r = _try("train_fold_parallel_bf16", measure_train_steps_per_sec,

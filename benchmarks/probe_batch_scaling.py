@@ -43,12 +43,8 @@ def probe(batch, timed_dispatches=3, discard=1, remat=False):
     import optax
 
     from __graft_entry__ import _example_batch
-    from bench import IMAGE_SHAPE, RNA_DIM
+    from bench import IMAGE_SHAPE, RNA_DIM, make_flagship_step
     from multimodal_survival_prediction_tpu.models import PartialModalityNet
-    from multimodal_survival_prediction_tpu.ops.cox import (
-        cox_partial_likelihood,
-        gate_entropy_loss,
-    )
 
     model = PartialModalityNet(dtype=jnp.bfloat16, remat=remat)
     b_np = _example_batch(batch, IMAGE_SHAPE, RNA_DIM)
@@ -67,21 +63,11 @@ def probe(batch, timed_dispatches=3, discard=1, remat=False):
         lambda s: np.zeros(s.shape, s.dtype),
         jax.eval_shape(tx.init, shapes["params"])))
 
-    def loss_fn(p, bs, b, key):
-        (hazard, gates), mut = model.apply(
-            {"params": p, "batch_stats": bs},
-            b["image"], b["rnaseq"], b["clinical"], b["mask"], train=True,
-            rngs={"dropout": key}, mutable=["batch_stats"])
-        loss = cox_partial_likelihood(
-            hazard, b["time"], b["event"], valid=b["svalid"]
-        ) + 0.01 * gate_entropy_loss(gates, valid=b["valid"])
-        return loss, mut["batch_stats"]
-
-    def one_step(p, bs, opt, b, k):
-        (loss, new_bs), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(p, bs, b, k)
-        updates, new_opt = tx.update(grads, opt, p)
-        return optax.apply_updates(p, updates), new_bs, new_opt, loss
+    # shared with bench.measure_train_steps_per_sec — the probe times the
+    # SAME loss/step program the bench headline pins (bench.py is the
+    # source of truth; this probe only drops the 1-fold vmap wrapper, a
+    # documented difference, docs/PERF.md)
+    _, one_step = make_flagship_step(model, tx)
 
     def chunk(p, bs, opt, b, keys):
         def body(carry, key1):

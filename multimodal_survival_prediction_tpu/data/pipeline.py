@@ -152,6 +152,21 @@ class VolumePrefetcher:
             # host and device outputs agree only to float tolerance, and
             # scoring-time preprocessing must match training-time.
             mode = "device"
+        if mode == "host" and not native_available():
+            # An explicit host pin (e.g. a checkpoint .meta.json recording
+            # resample_mode='host') cannot be honored without the C++ kernel.
+            # resample_normalize_host would silently fall back to the XLA op
+            # PER VOLUME from worker threads (one un-bucketed compile per
+            # distinct CT shape — minutes each over the axon tunnel), so
+            # reroute to the bucketed device path instead and say so loudly:
+            # host and device outputs agree to atol=2e-5
+            # (tests/test_native_pipeline.py), so scores move within float
+            # tolerance, not silently and not expensively.
+            log.warning(
+                "resample='host' requested but the native C++ kernel is "
+                "unavailable (build with `make -C csrc`); using the bucketed "
+                "device resample instead (outputs agree to ~2e-5)")
+            mode = "device"
         out_shape = tuple(out_shape)
 
         def preprocess_volume(vol, shape, use_pallas):
@@ -212,13 +227,16 @@ class VolumePrefetcher:
                                                        hu_window=hu_window)
                     host_sec = time.perf_counter() - t0
                 except Exception as e:
-                    # same failure->missing-modality semantics as the decode
-                    # and worker paths; with no probe timing, keep the
-                    # default device path for the rest of the cohort
-                    log.warning("host resample failed for probe job %s: %s",
-                                i, e)
-                    yield i, None
+                    # The probe volume DECODED fine — only the host kernel
+                    # failed on it, and the rest of the cohort is about to
+                    # take the device path anyway. Resample it on the device
+                    # too instead of dropping a usable modality.
+                    log.warning(
+                        "host resample failed for probe job %s: %s "
+                        "(device path keeps the volume)", i, e)
                     mode = "device"
+                    first_result = (i, np.asarray(preprocess_volume(
+                        vol, out_shape, use_pallas=use_pallas)))
                 else:
                     try:
                         bw = probe_link_bandwidth()

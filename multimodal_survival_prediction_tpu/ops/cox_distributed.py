@@ -188,7 +188,7 @@ def cox_partial_likelihood_sharded(
         hazard, event, time, valid)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=16)
 def _sharded_loss_fn(mesh: Mesh, axis_name: str, ties: str, eps: float):
     """Jitted shard_map loss, cached on its static config.
 
@@ -196,6 +196,10 @@ def _sharded_loss_fn(mesh: Mesh, axis_name: str, ties: str, eps: float):
     (non-traced) caller retrace and recompile — multi-minute remote compiles
     on the axon tunnel, uncached (CLAUDE.md). Mesh is hashable, so the
     executable is reused across calls with the same (mesh, axis, ties, eps).
+    Bounded: each entry pins its Mesh (devices) and compiled programs for
+    process lifetime; callers that build fresh meshes per run (the test
+    suite, notebooks) must not accumulate entries forever. Real processes
+    use one or two mesh configs, so 16 keeps the hot entries resident.
     """
 
     @partial(

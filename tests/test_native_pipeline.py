@@ -143,9 +143,10 @@ def test_volume_prefetcher_auto_device_is_single_path(tmp_path, rng,
 
 def test_volume_prefetcher_auto_probe_resample_failure(tmp_path, rng,
                                                        monkeypatch):
-    """A host-resample failure on the probe volume must degrade that volume
-    to None (failure->missing-modality semantics) and fall back to the
-    device path for the rest of the cohort, not crash the ingest."""
+    """A host-resample failure on the probe volume must fall back to the
+    device path for the WHOLE cohort including the probe volume itself —
+    it decoded fine, only the host kernel failed, so dropping it to None
+    would discard a usable modality the device path can process."""
     if not native_available():
         pytest.skip("native library unavailable")
     from multimodal_survival_prediction_tpu.data import pipeline
@@ -167,9 +168,39 @@ def test_volume_prefetcher_auto_probe_resample_failure(tmp_path, rng,
     pre = VolumePrefetcher(num_workers=2)
     got = dict(pre.run(jobs, (8, 8, 8), resample="auto"))
     assert pre.last_mode == "device"
-    assert got[0] is None  # the probe volume degraded, not raised
-    for i in (1, 2):
-        assert got[i].shape == (8, 8, 8)
+    for i in range(3):  # probe volume (0) kept via the device path
+        assert got[i] is not None and got[i].shape == (8, 8, 8)
+
+
+def test_volume_prefetcher_host_pin_without_native_uses_device(
+        tmp_path, rng, monkeypatch):
+    """An explicit resample='host' pin when the C++ kernel is unavailable
+    must reroute to the BUCKETED device path (with a warning) rather than
+    let resample_normalize_host silently fall back to one un-bucketed XLA
+    compile per volume from worker threads."""
+    from multimodal_survival_prediction_tpu.data import pipeline
+
+    monkeypatch.setattr(pipeline, "native_available", lambda: False,
+                        raising=False)
+    import multimodal_survival_prediction_tpu.data.native as native_mod
+
+    monkeypatch.setattr(native_mod, "native_available", lambda: False)
+
+    def boom(*a, **kw):  # the host kernel must never be entered
+        raise AssertionError("host path entered without native library")
+
+    monkeypatch.setattr(native_mod, "resample_normalize_host", boom)
+    jobs = []
+    for i in range(2):
+        vol = rng.integers(-500, 2000, size=(12, 14, 16), dtype=np.int16)
+        p = tmp_path / f"h{i}.nii.gz"
+        write_nifti(p, vol)
+        jobs.append((i, str(p)))
+    pre = VolumePrefetcher(num_workers=2)
+    got = dict(pre.run(jobs, (8, 8, 8), resample="host"))
+    assert pre.last_mode == "device"
+    for i in range(2):
+        assert got[i] is not None and got[i].shape == (8, 8, 8)
 
 
 def test_volume_prefetcher_auto_probe_bandwidth_failure(tmp_path, rng,
