@@ -18,15 +18,16 @@ from pathlib import Path
 import numpy as np
 
 
-def write_cv_results(
-    out_dir,
+def build_cv_payload(
     model_display_name: str | None,
     fold_results: list[dict],
     hyperparameters: dict | None = None,
     extra: dict | None = None,
     legacy: bool = False,
 ) -> dict:
-    """fold_results: list of {"fold": k, "best_c_index": ..., ...}."""
+    """Assemble the cv_results payload WITHOUT touching the filesystem
+    (used directly by write_outputs=False and multihost non-coordinator
+    runs, which must return the same payload they would have written)."""
     cs = np.array([f["best_c_index"] for f in fold_results], np.float64)
     payload: dict = {}
     if not legacy and model_display_name is not None:
@@ -38,7 +39,21 @@ def write_cv_results(
     payload["fold_results"] = fold_results
     if hyperparameters and not legacy:
         payload["hyperparameters"] = hyperparameters
+    return payload
 
+
+def write_cv_results(
+    out_dir,
+    model_display_name: str | None,
+    fold_results: list[dict],
+    hyperparameters: dict | None = None,
+    extra: dict | None = None,
+    legacy: bool = False,
+) -> dict:
+    """fold_results: list of {"fold": k, "best_c_index": ..., ...}."""
+    payload = build_cv_payload(model_display_name, fold_results,
+                               hyperparameters=hyperparameters, extra=extra,
+                               legacy=legacy)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     with open(out_dir / "cv_results.json", "w") as f:

@@ -8,6 +8,13 @@ top: batch data-parallelism + tensor-parallel wide layers over a
 """
 
 from .mesh import make_mesh, best_mesh_shape  # noqa: F401
+from .multihost import (  # noqa: F401
+    barrier,
+    initialize_distributed,
+    is_coordinator,
+    make_global_mesh,
+    read_back,
+)
 from .sharding import (  # noqa: F401
     param_shardings,
     replicate,

@@ -147,6 +147,13 @@ def run_cross_validation(
     name = cfg.name
     num_epochs = num_epochs or cfg.num_epochs
 
+    # Multi-host: every process runs the identical driver loop (all control
+    # decisions derive from replicated device values), but only the
+    # coordinator writes shared artifacts (parallel/multihost.py).
+    from ..parallel.multihost import is_coordinator
+
+    write_outputs = write_outputs and is_coordinator()
+
     arrays, splits = prepared if prepared is not None else prepare_cv_data(
         cfg, table, rnaseq_csv=rnaseq_csv,
         use_pallas_resample=use_pallas_resample, hu_window=hu_window)
@@ -268,19 +275,27 @@ def run_cross_validation(
         def save_resume(epoch, best_c, best_epoch, bad, history):
             import json as _json
 
-            save_checkpoint(resume_dir / "state.msgpack",
-                            _state_dict(jax.device_get(state)))
-            if best_params is not None:
-                save_checkpoint(resume_dir / "best.msgpack", best_params)
-            (resume_dir / "progress.json").write_text(_json.dumps({
-                "epoch": epoch, "lr": lr,
-                "plateau_best": plateau.best,
-                "plateau_num_bad": plateau.num_bad,
-                "best_c": best_c, "best_epoch": best_epoch, "bad": bad,
-                "shuffle_rng": shuffle_rng.bit_generator.state,
-                "dropout_key": np.asarray(dropout_key).tolist(),
-                "history": history,
-            }, default=str))
+            # Coordinator-only on multi-host (every process holds the same
+            # replicated state; a shared FS wants one writer). The barrier —
+            # reached by EVERY process — keeps non-coordinators from racing
+            # past a checkpoint other hosts may later resume-read.
+            from ..parallel.multihost import barrier
+
+            if is_coordinator():
+                save_checkpoint(resume_dir / "state.msgpack",
+                                _state_dict(jax.device_get(state)))
+                if best_params is not None:
+                    save_checkpoint(resume_dir / "best.msgpack", best_params)
+                (resume_dir / "progress.json").write_text(_json.dumps({
+                    "epoch": epoch, "lr": lr,
+                    "plateau_best": plateau.best,
+                    "plateau_num_bad": plateau.num_bad,
+                    "best_c": best_c, "best_epoch": best_epoch, "bad": bad,
+                    "shuffle_rng": shuffle_rng.bit_generator.state,
+                    "dropout_key": np.asarray(dropout_key).tolist(),
+                    "history": history,
+                }, default=str))
+            barrier("resume-save")
 
         # stage 1 (SimMLM expert pretraining): no model selection, fixed LR.
         # Skipped on resume: stage 1 already ran before the first stage-2
@@ -413,7 +428,13 @@ def build_and_write_cv_payload(cfg, outcomes, num_epochs, dataset_size,
     extra = {"n_folds": cfg.n_folds, "num_epochs": num_epochs,
              "dataset_size": dataset_size}
     if not write_outputs:
-        return None
+        # same payload the file would carry — multihost non-coordinators and
+        # write_outputs=False callers get identical return values
+        from ..io.results import build_cv_payload
+
+        return build_cv_payload(
+            cfg.display_name, fold_results, hyperparameters=hyper,
+            extra=extra, legacy=(cfg.name == "image_only"))
     return write_cv_results(
         Path(results_dir) / cfg.name, cfg.display_name, fold_results,
         hyperparameters=hyper, extra=extra,

@@ -488,7 +488,9 @@ class Trainer:
         # ONE readback drains the queue (in-order execution; see
         # train_epoch_streaming)
         mean_loss = float(jnp.mean(jnp.stack(losses)))
-        h = np.concatenate([np.asarray(x) for x in hazards])
+        from ..parallel.multihost import read_back  # multihost-safe asarray
+
+        h = np.concatenate([read_back(x) for x in hazards])
 
         flat_idx, bv = idx.reshape(-1), bvalid.reshape(-1)
         t = host_data["time"][flat_idx]
@@ -514,4 +516,8 @@ class Trainer:
         idx, bvalid = self._device_indices(idx, bvalid)
         cindex, loss, hazards = self._eval_fn(
             state.params, state.batch_stats, data, idx, bvalid)
-        return float(cindex), float(loss), np.asarray(hazards)[: len(indices)]
+        # multihost: pooled hazards come back sharded across processes;
+        # read_back allgathers them (plain np.asarray elsewhere)
+        from ..parallel.multihost import read_back
+
+        return float(cindex), float(loss), read_back(hazards)[: len(indices)]

@@ -83,6 +83,23 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "onto the device (for cohorts exceeding HBM); same "
                         "trajectory as the default device-resident scan "
                         "epoch, which is faster whenever the data fits")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-process (multi-host pod) run: "
+                        "initialize jax.distributed, build ONE global mesh "
+                        "over every chip of every host (ICIxDCN-aware), and "
+                        "write artifacts from the coordinator only. Run the "
+                        "IDENTICAL command on every host. On Cloud TPU pods "
+                        "the cluster is auto-detected; elsewhere pass "
+                        "--coordinator/--num-processes/--process-id")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="with --multihost: coordination-service address "
+                        "(omit on Cloud TPU pods)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="with --multihost: total process count (omit on "
+                        "Cloud TPU pods)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="with --multihost: this process's id (omit on "
+                        "Cloud TPU pods)")
     p.add_argument("--aot-cache", default=None, metavar="DIR",
                    help="persist compiled epoch/eval executables to DIR "
                         "(io/aot_cache.py): a later run with the same "
@@ -101,6 +118,16 @@ def parse_hu_window(s):
 
 
 def run_training(args, cfg):
+    if getattr(args, "multihost", False):
+        # must run before first device use (backend init); idempotent
+        from multimodal_survival_prediction_tpu.parallel import (
+            initialize_distributed,
+        )
+
+        initialize_distributed(coordinator=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
+
     import jax.numpy as jnp
 
     from multimodal_survival_prediction_tpu.data import (
@@ -156,8 +183,20 @@ def run_training(args, cfg):
         if not rnaseq_csv.exists():
             rnaseq_csv = None
 
-    mesh = (make_mesh(args.mesh, model_parallel=args.tp)
-            if args.mesh else None)
+    if getattr(args, "multihost", False):
+        if args.mesh or args.fold_parallel:
+            raise SystemExit(
+                "--multihost builds its own global mesh over every device "
+                "of every host; drop --mesh/--fold-parallel (--tp still "
+                "selects tensor parallelism inside it)")
+        from multimodal_survival_prediction_tpu.parallel import (
+            make_global_mesh,
+        )
+
+        mesh = make_global_mesh(model_parallel=args.tp)
+    else:
+        mesh = (make_mesh(args.mesh, model_parallel=args.tp)
+                if args.mesh else None)
     dtype = jnp.bfloat16 if args.bf16 else None
 
     if args.fold_dp > 1 and args.fold_parallel <= 1:

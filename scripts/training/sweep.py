@@ -42,7 +42,8 @@ def main():
                             ("--streaming", args.streaming, False),
                             ("--sharded-risk-set",
                              args.sharded_risk_set, False),
-                            ("--aot-cache", args.aot_cache, None)):
+                            ("--aot-cache", args.aot_cache, None),
+                            ("--multihost", args.multihost, False)):
         if val != none:
             raise SystemExit(f"{flag} is not supported by the sweep driver "
                              f"(candidates parallelize via --sweep-mesh)")
