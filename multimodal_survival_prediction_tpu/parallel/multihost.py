@@ -32,6 +32,11 @@ Each process must construct the *same* host-side inputs (cohort arrays,
 fold splits, RNG seeds).  Every cohort builder in this framework is
 deterministic given the same files/seed, so running the identical CLI
 command on every host satisfies this.
+
+``--resume`` under multi-host additionally requires the resume directory
+to live on a SHARED filesystem: the coordinator writes the periodic
+state/progress files and every process resume-reads them at fold start
+(the post-save barrier orders writer before readers).
 """
 
 from __future__ import annotations

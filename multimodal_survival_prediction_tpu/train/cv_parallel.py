@@ -223,6 +223,13 @@ def run_cross_validation_parallel(
     name = cfg.name
     num_epochs = num_epochs or cfg.num_epochs
 
+    # library-level multihost callers get the same coordinator-only write
+    # guard as the sequential driver (the CLI pairs --multihost with the
+    # sequential driver only, but nothing stops direct calls)
+    from ..parallel.multihost import is_coordinator
+
+    write_outputs = write_outputs and is_coordinator()
+
     arrays, splits = prepare_cv_data(
         cfg, table, rnaseq_csv=rnaseq_csv,
         use_pallas_resample=use_pallas_resample, hu_window=hu_window)
