@@ -145,6 +145,15 @@ def make_global_mesh(model_parallel: int = 1,
     return Mesh(grid, axis_names)
 
 
+def fetch_tree(tree):
+    """``jax.device_get`` that tolerates leaves sharded across processes
+    (e.g. tensor-parallel kernels under a multi-host mesh): every leaf goes
+    through :func:`read_back`, so cross-process-sharded leaves are
+    allgathered to their full global value while addressable/replicated
+    leaves convert directly."""
+    return jax.tree_util.tree_map(read_back, tree)
+
+
 def read_back(x) -> np.ndarray:
     """Fetch a jax.Array to host numpy from any process.
 

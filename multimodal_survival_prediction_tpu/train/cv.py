@@ -150,7 +150,7 @@ def run_cross_validation(
     # Multi-host: every process runs the identical driver loop (all control
     # decisions derive from replicated device values), but only the
     # coordinator writes shared artifacts (parallel/multihost.py).
-    from ..parallel.multihost import is_coordinator
+    from ..parallel.multihost import fetch_tree, is_coordinator
 
     write_outputs = write_outputs and is_coordinator()
 
@@ -238,7 +238,7 @@ def run_cross_validation(
             from .engine import TrainState as _TS
 
             sd = load_checkpoint(resume_dir / "state.msgpack",
-                                 _state_dict(jax.device_get(state)))
+                                 _state_dict(fetch_tree(state)))
             restored = _TS(**sd)
             if mesh is not None:
                 # restore each leaf onto the sharding its pre-resume
@@ -281,9 +281,11 @@ def run_cross_validation(
             # past a checkpoint other hosts may later resume-read.
             from ..parallel.multihost import barrier
 
+            # fetch_tree BEFORE the coordinator gate: under cross-process
+            # TP the allgather is collective — every process participates
+            sd = _state_dict(fetch_tree(state))
             if is_coordinator():
-                save_checkpoint(resume_dir / "state.msgpack",
-                                _state_dict(jax.device_get(state)))
+                save_checkpoint(resume_dir / "state.msgpack", sd)
                 if best_params is not None:
                     save_checkpoint(resume_dir / "best.msgpack", best_params)
                 (resume_dir / "progress.json").write_text(_json.dumps({
@@ -327,8 +329,8 @@ def run_cross_validation(
 
                 best_params = load_checkpoint(
                     resume_dir / "best.msgpack",
-                    jax.device_get({"params": state.params,
-                                    "batch_stats": state.batch_stats}))
+                    fetch_tree({"params": state.params,
+                                "batch_stats": state.batch_stats}))
         for epoch in range(start_epoch, num_epochs + 1):
             if cfg.scheduler == "cosine":
                 lr = cosine_annealing(cfg.learning_rate, epoch - 1, num_epochs)
@@ -345,7 +347,8 @@ def run_cross_validation(
 
             if val_c > best_c:
                 best_c, best_epoch = val_c, epoch
-                best_params = jax.device_get(
+                # multihost-safe device_get: TP kernels may span processes
+                best_params = fetch_tree(
                     {"params": state.params,
                      "batch_stats": state.batch_stats})
                 bad = 0

@@ -164,3 +164,50 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         mh["c_index_mean"], sp["c_index_mean"])
     for a, b in zip(mh["fold_results"], sp["fold_results"]):
         assert np.isclose(a["best_c_index"], b["best_c_index"], atol=1e-4)
+
+
+def test_two_process_tensor_parallel_spans_hosts(tmp_path):
+    """TP with the model axis spanning BOTH processes (mesh 1×8 over 2×4
+    devices): the wide RNA kernels are column-sharded across the process
+    boundary, so the Megatron-pattern collectives inside every GEMM cross
+    'hosts'. Must train to finite results and agree across processes."""
+    port = _free_port()
+
+    def run(pid):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""  # CLAUDE.md subprocess rule
+        return subprocess.Popen(
+            [sys.executable,
+             str(REPO_ROOT / "scripts" / "training" /
+                 "train_rnaseq_only.py"),
+             "--synthetic", "--synthetic-patients", "24",
+             "--data-root", str(tmp_path / f"cohort_p{pid}"),
+             "--results-dir", str(tmp_path / "results"),
+             "--models-dir", str(tmp_path / "models"),
+             "--epochs", "1", "--n-folds", "2",
+             "--multihost", "--tp", "8",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+
+    procs = [run(0), run(1)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, out[-2000:] + err[-2000:]
+    payload = json.loads((tmp_path / "results" / "rnaseq_only" /
+                          "cv_results.json").read_text())
+    assert np.isfinite(payload["c_index_mean"])
+    lines = [next(ln for ln in out.splitlines() if "C-index" in ln)
+             for _, out, _ in outs]
+    assert lines[0] == lines[1]
