@@ -360,8 +360,12 @@ def run_cross_validation_parallel(
 
     def snapshot(fold_i):
         sel = {"params": state.params, "batch_stats": state.batch_stats}
-        return jax.device_get(
-            jax.tree_util.tree_map(lambda x: x[fold_i], sel))
+        # fetch_tree: multihost-safe device_get (a multi-process fold mesh
+        # leaves the indexed slice on the fold's owning devices; every
+        # process takes identical snapshot branches — replicated eval)
+        from ..parallel.multihost import fetch_tree
+
+        return fetch_tree(jax.tree_util.tree_map(lambda x: x[fold_i], sel))
 
     for epoch in range(1, num_epochs + 1):
         if not active.any():
