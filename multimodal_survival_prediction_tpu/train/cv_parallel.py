@@ -205,6 +205,7 @@ def run_cross_validation_parallel(
     hu_window=None,
     num_epochs: int | None = None,
     write_outputs: bool = True,
+    aot_cache_dir=None,
 ):
     """Fold-parallel CV run for one model config.
 
@@ -298,8 +299,25 @@ def run_cross_validation_parallel(
             return x
         return jax.device_put(x, idx_sh if data_n > 1 else sh)
 
-    train_fn = _build_parallel_train_epoch(trainer)
-    eval_fn = _build_parallel_eval(trainer)
+    def maybe_aot(fn, tag):
+        # disk-backed executable cache (io/aot_cache.py): THE payoff driver
+        # for fold-parallel on remote-compile links — its vmapped epoch/eval
+        # programs are the most expensive compiles in the repo (round-2
+        # measured: fresh compiles made fold-parallel lose end-to-end
+        # despite a 2.2x steady-state win). One instance per run: the
+        # signature does not encode shardings (AOTCachedFunction docstring).
+        if not aot_cache_dir:
+            return fn
+        from ..io.aot_cache import AOTCachedFunction
+
+        return AOTCachedFunction(
+            fn, aot_cache_dir, tag=tag,
+            extra_meta={"driver": "cv_parallel", "model": cfg.name,
+                        "batch_size": cfg.batch_size, "k_pad": k_pad})
+
+    train_fn = maybe_aot(_build_parallel_train_epoch(trainer),
+                         "par_train_epoch")
+    eval_fn = maybe_aot(_build_parallel_eval(trainer), "par_eval")
 
     # host-side per-fold bookkeeping, mirroring the sequential driver
     shuffle_rngs = [np.random.default_rng(cfg.seed + f)
@@ -339,7 +357,8 @@ def run_cross_validation_parallel(
         s1_trainer = Trainer(model, batch_to_inputs,
                              simmlm_stage1_adapter(), tcfg)
         s1_trainer._extra_collections = trainer._extra_collections
-        s1_fn = _build_parallel_train_epoch(s1_trainer)
+        s1_fn = maybe_aot(_build_parallel_train_epoch(s1_trainer),
+                          "par_stage1_epoch")
         for epoch in range(1, cfg.stage1_epochs + 1):
             split = jax.vmap(jax.random.split)(dropout_keys)
             dropout_keys, eks = split[:, 0], split[:, 1]

@@ -107,7 +107,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "tracing+lowering+XLA compile — on the remote-TPU "
                         "tunnel that is minutes per program. Per-machine "
                         "cache; results unchanged (failures fall back to a "
-                        "normal compile). Sequential driver only")
+                        "normal compile). Works with the sequential driver "
+                        "AND --fold-parallel (whose vmapped programs are "
+                        "the most expensive compiles in the repo)")
     return p
 
 
@@ -209,12 +211,12 @@ def run_training(args, cfg):
 
     if args.fold_parallel:
         if args.mesh or args.tp > 1 or args.resume or args.profile_dir \
-                or args.streaming or args.sharded_risk_set or args.aot_cache:
+                or args.streaming or args.sharded_risk_set:
             raise SystemExit(
                 "--fold-parallel is mutually exclusive with --mesh/--tp/"
-                "--resume/--profile-dir/--streaming/--sharded-risk-set/"
-                "--aot-cache (use the sequential driver for those; "
-                "fold-parallel implies a device-resident cohort)")
+                "--resume/--profile-dir/--streaming/--sharded-risk-set "
+                "(use the sequential driver for those; fold-parallel "
+                "implies a device-resident cohort)")
         from multimodal_survival_prediction_tpu.train.cv_parallel import (
             make_fold_mesh,
             run_cross_validation_parallel,
@@ -229,6 +231,7 @@ def run_training(args, cfg):
             backbone=args.backbone, dtype=dtype, remat=args.remat,
             use_pallas_resample=args.pallas_resample,
             hu_window=parse_hu_window(args.hu_window),
+            aot_cache_dir=args.aot_cache,
         )
         print(f"\n{cfg.display_name} (fold-parallel): C-index "
               f"{payload['c_index_mean']:.4f} ± {payload['c_index_std']:.4f}")

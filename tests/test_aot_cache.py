@@ -208,3 +208,47 @@ def test_store_failure_still_returns_compiled(tmp_path, monkeypatch):
     assert info["source"] == "compile"
     np.testing.assert_allclose(np.asarray(c(x, y)), np.asarray(f(x, y)))
     assert not (tmp_path / f"{info['key']}.jaxexe").exists()
+
+
+def test_fold_parallel_aot_cache_matches_uncached(tmp_path):
+    """run_cross_validation_parallel(aot_cache_dir=...) — the
+    --fold-parallel --aot-cache CLI combination — must reproduce the
+    uncached fold-parallel run's fold results exactly and persist its
+    vmapped epoch/eval executables (the most expensive compiles in the
+    repo on remote-compile links)."""
+    from multimodal_survival_prediction_tpu.config import RNASEQ_ONLY
+    from multimodal_survival_prediction_tpu.data.synthetic import (
+        SyntheticCohortSpec,
+        generate_synthetic_cohort,
+    )
+    from multimodal_survival_prediction_tpu.train.cv_parallel import (
+        run_cross_validation_parallel,
+    )
+
+    table, paths = generate_synthetic_cohort(
+        tmp_path / "cohort",
+        SyntheticCohortSpec(n_patients=24, rna_dim=48, p_imaging=0.0,
+                            image_shapes=((8, 12, 12),)))
+    cfg = RNASEQ_ONLY.with_overrides(n_folds=2)
+
+    def run(cache_dir, sub):
+        return run_cross_validation_parallel(
+            cfg, table, rnaseq_csv=paths["rnaseq_csv"],
+            results_dir=tmp_path / sub / "r", models_dir=tmp_path / sub / "m",
+            num_epochs=2, aot_cache_dir=cache_dir)
+
+    cache = tmp_path / "aot"
+    p0, o0 = run(None, "uncached")
+    p1, o1 = run(cache, "cached")
+    assert list(cache.glob("*.jaxexe"))  # vmapped programs persisted
+    p2, o2 = run(cache, "warm")  # fresh driver call, warm cache
+
+    for oa, ob in zip(o0, o1):
+        assert oa.best_c_index == ob.best_c_index
+        assert oa.best_epoch == ob.best_epoch
+        for ha, hb in zip(oa.history, ob.history):
+            assert ha["train_loss"] == hb["train_loss"]
+    for ob, oc in zip(o1, o2):
+        assert ob.best_c_index == oc.best_c_index
+        for hb, hc in zip(ob.history, oc.history):
+            assert hb["train_loss"] == hc["train_loss"]
