@@ -623,6 +623,25 @@ def _scan_epoch_cache_warm():
         return False
 
 
+def _cold_headline_deadline():
+    """Initial-watchdog deadline (sec) when the headline program will pay a
+    fresh remote compile, or None to keep the default arm.
+
+    Measured 2026-08-19: with the headline entry absent from the AOT cache,
+    a slow-tunnel day blew the 540 s default — the fresh remote compile
+    stored its executable at +199 s and the first-upload measurement was
+    still draining past +540 s, so the driver got the watchdog's 0.0 line
+    despite a healthy (just slow) tunnel. An explicit BENCH_WATCHDOG_SEC is
+    the user's absolute deadline and is never extended.
+    """
+    if WATCHDOG_EXPLICIT:
+        return None
+    if _cache_warm(program="bench_chunk", dtype="bf16", folds=1,
+                   batch=HEADLINE_BATCH):
+        return None
+    return WATCHDOG_SEC + 480
+
+
 def reference_baseline(refresh=False):
     if CACHE.exists() and not refresh:
         return json.loads(CACHE.read_text())
@@ -663,6 +682,16 @@ def main():
 
     backend = jax.default_backend()
     errors = []
+
+    # Cold-headline headroom: re-arm AFTER backend init (the initial arm
+    # must precede any jax use to cover a DOWN tunnel; _cache_warm's env
+    # fingerprint needs devices).
+    headroom = _cold_headline_deadline()
+    if headroom is not None:
+        print(f"[bench] headline aot-cache cold: watchdog re-armed "
+              f"{WATCHDOG_SEC:.0f}s -> {headroom:.0f}s", file=sys.stderr)
+        watchdog = _rearm_watchdog(
+            watchdog, headroom, time.perf_counter() - wd_armed_at)
 
     t_start = time.perf_counter()
 

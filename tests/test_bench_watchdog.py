@@ -94,6 +94,31 @@ def test_scan_epoch_marker_written_from_trainer_info(tmp_path, monkeypatch):
     assert j["env"]  # fingerprint recorded for drift detection
 
 
+def test_cold_headline_deadline(tmp_path, monkeypatch):
+    """A cold headline AOT entry extends the default watchdog with
+    compile+first-upload headroom (a slow-tunnel day measured 2026-08-19
+    blew the 540 s default on a healthy tunnel); a warm entry or an
+    explicit BENCH_WATCHDOG_SEC keeps the arm unchanged."""
+    import bench
+    from multimodal_survival_prediction_tpu.io.aot_cache import (
+        _env_fingerprint,
+    )
+
+    monkeypatch.setattr(bench, "AOT_DIR", str(tmp_path))
+    monkeypatch.setattr(bench, "WATCHDOG_EXPLICIT", False)
+    d = bench._cold_headline_deadline()
+    assert d is not None and d > bench.WATCHDOG_SEC  # cold -> headroom
+
+    (tmp_path / "hl.meta.json").write_text(json.dumps(
+        {"program": "bench_chunk", "dtype": "bf16", "folds": 1,
+         "batch": bench.HEADLINE_BATCH, **_env_fingerprint()}))
+    assert bench._cold_headline_deadline() is None  # warm -> default arm
+
+    (tmp_path / "hl.meta.json").unlink()
+    monkeypatch.setattr(bench, "WATCHDOG_EXPLICIT", True)
+    assert bench._cold_headline_deadline() is None  # user deadline wins
+
+
 def test_cache_warm_generalized_tag_matching(tmp_path, monkeypatch):
     """bench._cache_warm gates the opportunistic fold-parallel phase on an
     exact meta-tag match (program/dtype/folds/batch) — a warm bs=128
