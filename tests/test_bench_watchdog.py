@@ -119,6 +119,38 @@ def test_cold_headline_deadline(tmp_path, monkeypatch):
     assert bench._cold_headline_deadline() is None  # user deadline wins
 
 
+def test_tail_floor_rearm(monkeypatch):
+    """bench._tail_floor_rearm extends a nearly-exhausted watchdog deadline
+    to the tail floor (late real JSON beats a 0.0 line) and never shortens
+    a deadline that already has more than the floor remaining."""
+    import time
+
+    import bench
+
+    class FakeWatchdog:
+        cancelled = False
+
+        def cancel(self):
+            self.cancelled = True
+
+    armed = []
+    monkeypatch.setattr(bench, "WATCHDOG_EXPLICIT", False)
+    monkeypatch.setattr(bench, "_start_watchdog",
+                        lambda sec: armed.append(sec) or FakeWatchdog())
+
+    now = time.perf_counter()
+    wd = FakeWatchdog()
+    # plenty of deadline left: untouched (a cold-headline extension must
+    # never be SHORTENED by the tail floor)
+    w2, d2 = bench._tail_floor_rearm(wd, now + 500, now - 100)
+    assert w2 is wd and d2 == now + 500 and not armed and not wd.cancelled
+
+    # nearly exhausted: extended to the floor
+    w3, d3 = bench._tail_floor_rearm(wd, now + 10, now - 500, floor_sec=180)
+    assert wd.cancelled and armed == [180]
+    assert d3 - time.perf_counter() > 170
+
+
 def test_cache_warm_generalized_tag_matching(tmp_path, monkeypatch):
     """bench._cache_warm gates the opportunistic fold-parallel phase on an
     exact meta-tag match (program/dtype/folds/batch) — a warm bs=128
