@@ -10,7 +10,10 @@ idle-machine confirmed 2026-08-17): 24.24 steps/s = 21.0% MFU and 3,103
 patients/s program throughput, vs 13.6% MFU at bs=32 and ~7.5% at the
 reference's own bs=8 — the program is HBM-bound (docs/PERF.md roofline), so
 batch is the chip-efficiency knob (bs=152, the largest exact divisor of the
-608-patient epoch, is anomalously SLOW: XLA pads non-power-of-two batches).
+608-patient epoch, is anomalously SLOW: the batch axis tiles at the 128-lane
+boundary, so any batch in (128, 256] streams a 256-padded layout — measured
+via controlled bs=96/112/160 probes, docs/PERF.md round-3b; 128 and 256 are
+the only efficient points above 112 and 128 wins).
 The headline value is EPOCH-adjusted: 608 patients take ceil(608/128)=5
 steps (the engine cycles padding on the ragged last batch), so epoch
 patients/s = steps/s * 608/5 — 5% below the program's steady-state rate,
@@ -159,11 +162,18 @@ def _rearm_watchdog(watchdog, phase_est_sec: float, elapsed_sec: float):
     """Re-arm before a budget-gated phase whose worst case (a stale warm
     prediction paying the full compile) exceeds the default deadline.
     With an EXPLICIT BENCH_WATCHDOG_SEC the user's absolute deadline wins:
-    re-arm to the remaining user budget instead of the phase estimate."""
+    re-arm to the remaining user budget instead of the phase estimate.
+
+    Returns ``(watchdog, deadline_at)`` — deadline bookkeeping lives HERE so
+    every caller's ``wd_deadline_at`` stays consistent with the timer that
+    will actually fire (round-3 advisor: recomputing it at call sites drifts).
+    """
     watchdog.cancel()
     if WATCHDOG_EXPLICIT:
-        return _start_watchdog(max(WATCHDOG_SEC - elapsed_sec, 1.0))
-    return _start_watchdog(phase_est_sec)
+        deadline_sec = max(WATCHDOG_SEC - elapsed_sec, 1.0)
+    else:
+        deadline_sec = phase_est_sec
+    return _start_watchdog(deadline_sec), time.perf_counter() + deadline_sec
 
 
 # FLOPs per train step from compiled.cost_analysis() of the exact programs
@@ -296,7 +306,8 @@ def measure_train_steps_per_sec(dtype=None, folds=1, batch=HEADLINE_BATCH,
             {"params": rng, "dropout": rng},
             one_np["image"], one_np["rnaseq"], one_np["clinical"],
             one_np["mask"], train=False))
-    _mark("host batch built + data device_put submitted")
+    _mark("host batch built + data device_put submitted "
+          "+ abstract-init eval_shape traced")
     variables = jax.device_put(jax.tree_util.tree_map(
         lambda s: np.zeros((folds, *s.shape), s.dtype), shapes))
     _mark("zeros variables device_put submitted")
@@ -640,10 +651,14 @@ def _scan_epoch_cache_warm():
         return False
 
 
-def _tail_floor_rearm(watchdog, wd_deadline_at, wd_armed_at, floor_sec=180):
-    """Guarantee the cheap post-headline phases (preprocess ~45 s + JSON
-    emit) at least ``floor_sec`` of watchdog, re-arming only when that would
-    EXTEND the current deadline (never shortens a cold-headline extension).
+def _tail_floor_rearm(watchdog, wd_deadline_at, wd_armed_at,
+                      pending_optins=0):
+    """Guarantee the post-headline phases at least ``floor_sec`` of watchdog,
+    re-arming only when that would EXTEND the current deadline (never
+    shortens a cold-headline extension). The floor sizes to pending work
+    (round-3 advisor): 180 s covers preprocess (~45 s) + JSON emit, plus
+    360 s per enabled opt-in train phase still to run — each of those can
+    pay a fresh multi-minute remote compile.
 
     On a slow-transfer day even the WARM headline phase has measured
     308-480 s (2026-08-19 — per-transfer round trips balloon, execution
@@ -653,14 +668,15 @@ def _tail_floor_rearm(watchdog, wd_deadline_at, wd_armed_at, floor_sec=180):
 
     Returns ``(watchdog, wd_deadline_at)``.
     """
+    floor_sec = 180 + 360 * pending_optins
     now = time.perf_counter()
     remaining = wd_deadline_at - now
     if remaining >= floor_sec:
         return watchdog, wd_deadline_at
     print(f"[bench] headline left {remaining:.0f}s of watchdog: re-armed "
-          f"to {floor_sec:.0f}s tail floor", file=sys.stderr)
-    watchdog = _rearm_watchdog(watchdog, floor_sec, now - wd_armed_at)
-    return watchdog, now + floor_sec
+          f"to {floor_sec:.0f}s tail floor ({pending_optins} opt-in "
+          f"phases pending)", file=sys.stderr)
+    return _rearm_watchdog(watchdog, floor_sec, now - wd_armed_at)
 
 
 def _cold_headline_deadline():
@@ -731,9 +747,8 @@ def main():
     if headroom is not None:
         print(f"[bench] headline aot-cache cold: watchdog re-armed "
               f"{WATCHDOG_SEC:.0f}s -> {headroom:.0f}s", file=sys.stderr)
-        watchdog = _rearm_watchdog(
+        watchdog, wd_deadline_at = _rearm_watchdog(
             watchdog, headroom, time.perf_counter() - wd_armed_at)
-        wd_deadline_at = time.perf_counter() + headroom
 
     t_start = time.perf_counter()
 
@@ -759,8 +774,11 @@ def main():
           f"({flops} flops/step)", file=sys.stderr)
 
     if not WATCHDOG_EXPLICIT:  # tail floor; _tail_floor_rearm docstring
+        pending = sum(os.environ.get(v) == "1" for v in
+                      ("BENCH_BS32", "BENCH_FOLD_PARALLEL", "BENCH_BS8",
+                       "BENCH_FP32"))
         watchdog, wd_deadline_at = _tail_floor_rearm(
-            watchdog, wd_deadline_at, wd_armed_at)
+            watchdog, wd_deadline_at, wd_armed_at, pending_optins=pending)
 
     bs32_steps, bs32_flops, bs32_src = None, None, None
     if os.environ.get("BENCH_BS32") == "1":
@@ -814,8 +832,9 @@ def main():
         # re-arm the watchdog with headroom for the phase's WORST case (a
         # wrongly-predicted warm cache still pays the full compile) — a
         # late JSON line beats the watchdog's 0.0 line
-        watchdog = _rearm_watchdog(watchdog, SCAN_EPOCH_EST_SEC + 120,
-                                   time.perf_counter() - wd_armed_at)
+        watchdog, wd_deadline_at = _rearm_watchdog(
+            watchdog, SCAN_EPOCH_EST_SEC + 120,
+            time.perf_counter() - wd_armed_at)
         print(f"[bench] scan epoch: aot-cache "
               f"{'warm' if scan_warm else 'cold'}", file=sys.stderr)
         scan_patients_per_sec = _try(
@@ -846,8 +865,9 @@ def main():
         if fold_warm and BUDGET_SEC - elapsed > FOLD_PARALLEL_WARM_EST_SEC:
             # worst case the warm prediction is stale (the chunk program
             # changed): the phase pays the full compile — re-arm for it
-            watchdog = _rearm_watchdog(watchdog, FOLD_PARALLEL_EST_SEC + 120,
-                                       time.perf_counter() - wd_armed_at)
+            watchdog, wd_deadline_at = _rearm_watchdog(
+                watchdog, FOLD_PARALLEL_EST_SEC + 120,
+                time.perf_counter() - wd_armed_at)
             print("[bench] fold-parallel: aot-cache warm, running "
                   "opportunistically", file=sys.stderr)
             r = _try("train_fold_parallel_bf16", measure_train_steps_per_sec,

@@ -146,9 +146,17 @@ def test_tail_floor_rearm(monkeypatch):
     assert w2 is wd and d2 == now + 500 and not armed and not wd.cancelled
 
     # nearly exhausted: extended to the floor
-    w3, d3 = bench._tail_floor_rearm(wd, now + 10, now - 500, floor_sec=180)
+    w3, d3 = bench._tail_floor_rearm(wd, now + 10, now - 500)
     assert wd.cancelled and armed == [180]
     assert d3 - time.perf_counter() > 170
+
+    # the floor sizes to pending opt-in phases (each can pay a ~360 s
+    # remote compile): 180 + 2*360
+    armed.clear()
+    w4, d4 = bench._tail_floor_rearm(wd, now + 10, now - 500,
+                                     pending_optins=2)
+    assert armed == [900]
+    assert d4 - time.perf_counter() > 880
 
 
 def test_cache_warm_generalized_tag_matching(tmp_path, monkeypatch):
