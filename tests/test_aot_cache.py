@@ -210,6 +210,7 @@ def test_store_failure_still_returns_compiled(tmp_path, monkeypatch):
     assert not (tmp_path / f"{info['key']}.jaxexe").exists()
 
 
+@pytest.mark.slow
 def test_fold_parallel_aot_cache_matches_uncached(tmp_path):
     """run_cross_validation_parallel(aot_cache_dir=...) — the
     --fold-parallel --aot-cache CLI combination — must reproduce the

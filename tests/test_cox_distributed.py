@@ -75,6 +75,7 @@ def test_unsorted_entry_matches_sorted(mesh):
     assert got == pytest.approx(ref, abs=2e-5)
 
 
+@pytest.mark.slow
 def test_engine_sharded_risk_set_matches_default(mesh):
     """Trainer(sharded_risk_set=True) — the opt-in engine mode — must produce
     the same one-epoch trajectory as the default hazard-all-gather path on a

@@ -30,6 +30,8 @@ from multimodal_survival_prediction_tpu.train.engine import (
     Trainer,
 )
 
+pytestmark = pytest.mark.slow  # vmapped fold-parallel CV compiles (CLAUDE.md quick/slow split)
+
 SMALL_IMG = (16, 16, 8)
 
 

@@ -77,6 +77,7 @@ def test_densenet_rejects_undersized_input(batch):
         _init(DenseNet121_3D(out_features=8), batch["image"])
 
 
+@pytest.mark.slow
 def test_densenet_remat_matches(batch):
     import jax
 

@@ -18,6 +18,9 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess 2-process cluster e2es (CLAUDE.md quick/slow split)
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 

@@ -99,6 +99,7 @@ def test_fuzz_adversarial_header_fields(valid_nii, tmp_path, monkeypatch):
         _decode_no_crash(p)
 
 
+@pytest.mark.slow
 def test_fuzz_gzip_container(valid_nii, tmp_path, monkeypatch):
     """Corruption UNDER the gzip layer and of the gzip stream itself."""
     monkeypatch.setenv("MSP_NATIVE_IO", "1")

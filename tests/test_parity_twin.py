@@ -25,6 +25,7 @@ from multimodal_survival_prediction_tpu.data.synthetic import (
     generate_synthetic_cohort,
 )
 from multimodal_survival_prediction_tpu.train.cv import run_cross_validation
+import pytest
 
 
 def test_harrell_oracle_agrees_with_ops_cindex(rng):
@@ -41,6 +42,7 @@ def test_harrell_oracle_agrees_with_ops_cindex(rng):
                - concordance_index_np(h, t, e)) < 1e-6
 
 
+@pytest.mark.slow
 def test_twin_cv_parity_compact(tmp_path):
     cohort_root = tmp_path / "cohort"
     generate_synthetic_cohort(

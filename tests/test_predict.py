@@ -54,6 +54,7 @@ def test_train_then_predict(tmp_path):
     assert not np.allclose(ens.risk_score.values, pred.risk_score.values)
 
 
+@pytest.mark.slow
 def test_predict_mmsurv_restores_constants(tmp_path):
     """MMsurvNet's 'constants' count-sketch matrices (models/mmsurv.py) are
     not stored in fold checkpoints; predict_risk must reproduce them with a

@@ -7,6 +7,9 @@ import os
 import subprocess
 import sys
 from pathlib import Path
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess streaming CLI e2e (CLAUDE.md quick/slow split)
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 

@@ -58,6 +58,7 @@ def test_anchor_candidate_matches_sequential_fold1(cohort, tmp_path):
     assert cs == sorted(cs, reverse=True)
 
 
+@pytest.mark.slow
 def test_simmlm_anchor_includes_stage1_and_patience(tmp_path):
     """Two-stage + early-stop parity: the sweep must run SimMLM's stage-1
     expert pretraining and freeze a candidate's record once cfg.patience

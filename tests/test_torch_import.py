@@ -60,7 +60,8 @@ def test_import_rnaseq_matches_torch_forward(tmp_path):
 
 
 @pytest.mark.parametrize("use_monai,backbone,shape", [
-    (True, "densenet121", (32, 32, 32)),
+    pytest.param(True, "densenet121", (32, 32, 32),
+                 marks=pytest.mark.slow),  # ~50s full-DenseNet CPU compile
     (False, "simple_cnn", (16, 16, 8)),
 ])
 def test_import_partial_modality_matches_torch_forward(
@@ -326,6 +327,7 @@ def test_export_import_roundtrip(family):
     assert not flat_b  # no extra leaves materialized
 
 
+@pytest.mark.slow
 def test_export_import_roundtrip_densenet():
     """The MONAI DenseNet121 export path (every dense block / transition /
     head key) — roundtrip at the 32^3 minimum input."""

@@ -77,6 +77,7 @@ def test_partial_modality_e2e(cohort, tmp_path):
     assert payload["hyperparameters"]["gate_entropy_weight"] == 0.01
 
 
+@pytest.mark.slow
 def test_simmlm_e2e(cohort, tmp_path):
     cfg = SIMMLM.with_overrides(n_folds=2, image_shape=SMALL_IMG,
                                 batch_size=4, stage1_epochs=2)
@@ -137,6 +138,7 @@ def test_rnaseq_only_tensor_parallel(cohort, tmp_path):
     assert np.isfinite(payload["c_index_mean"])
 
 
+@pytest.mark.slow
 def test_resume_mid_cv(cohort, tmp_path):
     """Kill-and-resume: a run checkpointed every epoch must continue from
     where it stopped and produce the same artifacts as an uninterrupted run
@@ -263,6 +265,7 @@ def test_streaming_epoch_matches_scan_epoch():
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_densenet_flagship_under_dp_mesh():
     """The flagship CT encoder (DenseNet backbone) under the 8-device DP
     mesh: one train step of PartialModalityNet(backbone='densenet121') at
@@ -341,6 +344,7 @@ def test_streaming_cv_driver_matches_device_resident(cohort, tmp_path):
             assert abs(ha["val_c_index"] - hb["val_c_index"]) < 1e-5
 
 
+@pytest.mark.slow
 def test_resume_restores_tp_shardings(cohort, tmp_path):
     """Resume under a DP x TP mesh must put restored leaves back onto their
     original shardings (wide RNA kernels on the 'model' axis), not
@@ -412,6 +416,7 @@ def test_prepared_data_path_is_equivalent(cohort, tmp_path):
         assert a.history == b.history
 
 
+@pytest.mark.slow
 def test_efron_ties_mode_end_to_end(cohort, tmp_path):
     """cfg.ties='efron' flows through the CV driver: on a tied-heavy cohort
     it trains to a different (finite) trajectory than Breslow; without ties
