@@ -1,0 +1,316 @@
+#!/usr/bin/env python
+"""Per-fusion HBM-traffic breakdown of the compiled flagship train step
+(VERDICT r3 #3 / PERF.md evidence tool).
+
+The bs=128 headline step moves ~26.8 GB at ~648 GB/s effective vs the v5e's
+819 GB/s — this probe answers WHERE the bytes go. It obtains the
+TPU-optimized HLO of the exact bench headline chunk program (preferring the
+warm `.bench_aot_cache/` executable — zero remote compile — and falling back
+to one fresh compile with --source compile), then applies XLA's fusion
+traffic model: each top-level instruction in the scan-body computation reads
+its operands from HBM once and writes its output once, so
+
+    bytes(instr) = sum(operand shape bytes) + output shape bytes
+
+summed over the while-body's instructions (parameters/constants/GTE/tuple/
+bitcast excluded — they alias, they don't stream). The aggregate is
+validated against the executable's own cost_analysis()['bytes accessed'].
+Each fusion is attributed to a category via its metadata op_name (conv /
+batch-norm / concat / dot / optimizer / ...), and the top-N are printed with
+their op_name so specific model layers are identifiable.
+
+Usage (any host that holds the warm bench AOT cache; CPU-only analysis):
+    python benchmarks/probe_hlo_bytes.py --batch 128 --top 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+
+DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+    "c64": 8, "c128": 16, "token": 0, "s4": 1, "u4": 1,
+    "f8e4m3fn": 1, "f8e5m2": 1,
+}
+
+_SHAPE_RE = re.compile(r"\b([a-z][a-z0-9]*)\[([0-9,]*)\]")
+_INSTR_RE = re.compile(r"^\s+(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)$")
+_OPNAME_RE = re.compile(r'op_name="([^"]*)"')
+
+# ops whose "operands" alias rather than stream (no HBM traffic of their own)
+SKIP_OPS = {"parameter", "constant", "get-tuple-element", "tuple", "bitcast",
+            "iota", "after-all", "partition-id", "replica-id"}
+
+
+def shape_bytes(text: str) -> int:
+    """Total bytes of every dtype[dims] shape literal in `text`."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(text):
+        if dt not in DTYPE_BYTES:
+            continue
+        n = 1
+        if dims:
+            for d in dims.split(","):
+                n *= int(d)
+        total += n * DTYPE_BYTES[dt]
+    return total
+
+
+def parse_computations(hlo: str) -> dict:
+    """HLO text -> {computation_name: [instruction line, ...]}."""
+    comps, cur, name = {}, None, None
+    for line in hlo.splitlines():
+        m = re.match(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s+\(.*\)\s*->.*{", line)
+        if m and not line.startswith(" "):
+            name, cur = m.group(1), []
+            comps[name] = cur
+            continue
+        if line.startswith("}"):
+            name, cur = None, None
+            continue
+        if cur is not None and line.strip():
+            cur.append(line)
+    return comps
+
+
+def opcode_of(rhs: str) -> str:
+    """The HLO opcode from an instruction's right-hand side."""
+    # rhs looks like: "bf16[128,...]{...} fusion(...), kind=..." — opcode is
+    # the first bare word after the output shape
+    m = re.match(r"^(?:\([^)]*\)|\S+)\s+([a-z][\w\-]*)", rhs)
+    return m.group(1) if m else "?"
+
+
+def category_of(op_name: str, opcode: str) -> str:
+    s = op_name.lower()
+    if "conv" in s or opcode == "convolution":
+        return "conv"
+    if "batch_norm" in s or "batchnorm" in s or "/bn/" in s:
+        return "batch_norm"
+    if "concat" in s or opcode == "concatenate":
+        return "concat"
+    if opcode == "dot" or "dot_general" in s or "einsum" in s:
+        return "matmul"
+    if "adam" in s or "opt" in s or "clip_by_global_norm" in s:
+        return "optimizer"
+    if "transpose" in s or opcode == "transpose":
+        return "transpose"
+    if opcode in ("copy", "copy-start", "copy-done"):
+        return "copy"
+    if "reduce_window" in s or "pool" in s:
+        return "pooling"
+    if opcode.startswith("all-") or opcode in ("reduce-scatter",
+                                               "collective-permute"):
+        return "collective"
+    return "other"
+
+
+def analyze(hlo: str, body_hint: str = "while") -> dict:
+    comps = parse_computations(hlo)
+    if not comps:
+        raise ValueError("no computations parsed from HLO text")
+    # the scan body is the biggest non-fused computation mentioning the hint,
+    # else the biggest computation outright (single-step programs analyze
+    # their entry)
+    candidates = [(len(v), k) for k, v in comps.items()
+                  if body_hint in k and not k.startswith("fused")]
+    if not candidates:
+        candidates = [(len(v), k) for k, v in comps.items()
+                      if not k.startswith("fused")]
+    _, body_name = max(candidates)
+
+    rows = []
+    for line in comps[body_name]:
+        m = _INSTR_RE.match(line)
+        if not m:
+            continue
+        name, rhs = m.groups()
+        opcode = opcode_of(rhs)
+        if opcode in SKIP_OPS:
+            continue
+        # strip the trailing metadata/backend_config so their shape-free text
+        # can't confuse the operand scan; shapes live in output + operand list
+        core = rhs.split(", metadata=")[0].split(", backend_config=")[0]
+        # drop calls=%fused_computation refs (no shapes there anyway)
+        b = shape_bytes(core)
+        opn = _OPNAME_RE.search(rhs)
+        rows.append({
+            "instr": name,
+            "opcode": opcode,
+            "bytes": b,
+            "op_name": opn.group(1) if opn else "",
+        })
+    total = sum(r["bytes"] for r in rows)
+    by_cat = defaultdict(int)
+    for r in rows:
+        r["category"] = category_of(r["op_name"], r["opcode"])
+        by_cat[r["category"]] += r["bytes"]
+    rows.sort(key=lambda r: -r["bytes"])
+    return {"body": body_name, "n_instructions": len(rows),
+            "total_bytes": total, "by_category": dict(by_cat), "rows": rows}
+
+
+def get_headline_hlo(batch: int, dtype_name: str, source: str):
+    """(hlo_text, cost_analysis_bytes or None) for the bench headline chunk.
+
+    source='aot' deserializes the warm .bench_aot_cache/ executable and asks
+    the runtime executable for its optimized HLO — no compile at all;
+    source='compile' pays one fresh (remote, on the tunnel) compile.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from __graft_entry__ import _example_batch
+    from bench import (
+        AOT_DIR,
+        IMAGE_SHAPE,
+        RNA_DIM,
+        STEPS_PER_DISPATCH,
+        make_flagship_step,
+    )
+    from multimodal_survival_prediction_tpu.io import aot_cache
+    from multimodal_survival_prediction_tpu.models import PartialModalityNet
+
+    # EXACT replica of bench.measure_train_steps_per_sec's chunk program at
+    # folds=1 (incl. the 1-fold vmap wrapper and donation) — the lowered
+    # StableHLO must be textually identical for the AOT cache key to hit.
+    folds = 1
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    model = PartialModalityNet(dtype=dtype)
+    one_np = _example_batch(batch, IMAGE_SHAPE, RNA_DIM)
+    stacked_np = {
+        k: np.stack([_example_batch(batch, IMAGE_SHAPE, RNA_DIM, seed=f)[k]
+                     for f in range(folds)])
+        for k in one_np
+    }
+    rng = jax.random.PRNGKey(0)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {"params": rng, "dropout": rng},
+            one_np["image"], one_np["rnaseq"], one_np["clinical"],
+            one_np["mask"], train=False))
+    host_vars = jax.tree_util.tree_map(
+        lambda s: np.zeros((folds, *s.shape), s.dtype), shapes)
+    params, batch_stats = host_vars["params"], host_vars["batch_stats"]
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+    opt_state = jax.tree_util.tree_map(
+        lambda s: np.zeros((folds, *s.shape), s.dtype),
+        jax.eval_shape(tx.init, shapes["params"]))
+
+    _, one_fold_step = make_flagship_step(model, tx)
+    vstep = jax.vmap(one_fold_step)
+
+    def chunk(p, bs, opt, b, keys):
+        def body(carry, key_f):
+            p, bs, opt = carry
+            p, bs, opt, loss = vstep(p, bs, opt, b, key_f)
+            return (p, bs, opt), loss.mean()
+
+        (p, bs, opt), losses = jax.lax.scan(body, (p, bs, opt), keys)
+        return p, bs, opt, losses.mean()
+
+    K = STEPS_PER_DISPATCH
+    keys = jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(1), 0),
+        K * folds).reshape(K, folds, 2)
+    lowered = jax.jit(chunk, donate_argnums=(0, 1, 2)).lower(
+        params, batch_stats, opt_state, stacked_np, keys)
+    key = aot_cache.program_key(lowered)
+
+    if source == "aot":
+        loaded = aot_cache.load_executable(AOT_DIR, key)
+        if loaded is None:
+            raise SystemExit(
+                f"aot cache miss for key {key} in {AOT_DIR} — run bench.py "
+                "once to warm it, or use --source compile")
+        hlo = _optimized_hlo(loaded)
+        ca = _cost_analysis(loaded)
+        return hlo, ca
+    compiled = lowered.compile()
+    hlo = _optimized_hlo(compiled)
+    ca = _cost_analysis(compiled)
+    return hlo, ca
+
+
+def _optimized_hlo(compiled) -> str:
+    """Optimized HLO text from a Compiled OR a deserialized executable."""
+    for attempt in (
+        lambda: compiled.as_text(),
+        lambda: "\n".join(m.to_string() for m in
+                          compiled.runtime_executable().hlo_modules()),
+        lambda: "\n".join(m.to_string() for m in
+                          compiled._executable.xla_extension_executable()
+                          .hlo_modules()),
+    ):
+        try:
+            text = attempt()
+            if text and "ENTRY" in text:
+                return text
+        except Exception:
+            continue
+    raise RuntimeError("could not extract optimized HLO from the executable")
+
+
+def _cost_analysis(compiled):
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("bytes accessed") or 0.0) or None
+    except Exception:
+        return None
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--source", default="aot", choices=["aot", "compile"])
+    p.add_argument("--top", type=int, default=30)
+    p.add_argument("--json-out", default=None)
+    args = p.parse_args()
+
+    hlo, ca_bytes = get_headline_hlo(args.batch, args.dtype, args.source)
+    print(f"[hlo-bytes] HLO text: {len(hlo) / 1e6:.1f} MB", file=sys.stderr)
+    rep = analyze(hlo)
+
+    rep["batch"] = args.batch
+    rep["dtype"] = args.dtype
+    rep["cost_analysis_bytes"] = ca_bytes
+    rep["model_vs_cost_analysis"] = (
+        round(rep["total_bytes"] / ca_bytes, 3) if ca_bytes else None)
+
+    print(f"scan body: {rep['body']} ({rep['n_instructions']} streaming "
+          f"instructions)")
+    print(f"fusion-model total: {rep['total_bytes'] / 1e9:.2f} GB/step"
+          + (f"  (cost_analysis: {ca_bytes / 1e9:.2f} GB — ratio "
+             f"{rep['model_vs_cost_analysis']})" if ca_bytes else ""))
+    print("\nby category (GB/step):")
+    for cat, b in sorted(rep["by_category"].items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:<12} {b / 1e9:8.3f}  "
+              f"({100 * b / rep['total_bytes']:5.1f}%)")
+    print(f"\ntop {args.top} instructions:")
+    for r in rep["rows"][:args.top]:
+        print(f"  {r['bytes'] / 1e9:7.3f} GB  {r['opcode']:<14} "
+              f"[{r['category']}] {r['op_name'][:110]}")
+
+    if args.json_out:
+        slim = dict(rep)
+        slim["rows"] = rep["rows"][:max(args.top, 50)]
+        Path(args.json_out).write_text(json.dumps(slim, indent=2))
+        print(f"[hlo-bytes] wrote {args.json_out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,7 @@ def run_torch_partial_modality_cv(
     grad_clip: float = 1.0,
     seed: int = 42,
     split_seed: int | None = None,
+    init_state_dicts: list | None = None,
 ):
     """Torch twin of the reference FLAGSHIP trainer (gated partial-modality,
     reference partial_modality_training.py:364-560): folds over the
@@ -105,11 +106,21 @@ def run_torch_partial_modality_cv(
     benchmarks/torch_reference.py (DenseNet121-3D CT encoder + compact RNA
     MLP + clinical MLP + gate + fusion). Image depth/height/width must each
     survive 5 halvings (>= 32): use image_shape=(32,32,32) cohorts.
+
+    `init_state_dicts`: optional per-fold reference-layout state_dicts
+    (e.g. io.torch_import.export_torch_state_dict of the JAX trainer's
+    fold inits) — when given, fold k starts from init_state_dicts[k-1]
+    loaded strict into the reference-NAMED net
+    (torch_reference_named.build_reference_named_partial_modality), so the
+    torch oracle and the JAX build train from IDENTICAL initial weights
+    (init-matched parity, VERDICT r3 #1). RNG seeding is unchanged: batch
+    shuffles and dropout still draw from `seed`.
     """
     import torch
     from sklearn.model_selection import KFold
 
     from .torch_reference import build_torch_gated_net
+    from .torch_reference_named import build_reference_named_partial_modality
 
     split_seed = seed if split_seed is None else split_seed
     torch.manual_seed(seed)
@@ -134,7 +145,14 @@ def run_torch_partial_modality_cv(
     for fold, (tr, va) in enumerate(kfold.split(labeled), start=1):
         train_rows = np.concatenate([labeled[tr], unlabeled])
         val_rows = labeled[va]
-        model = build_torch_gated_net(rna.shape[1])
+        if init_state_dicts is not None:
+            model = build_reference_named_partial_modality(rna.shape[1])
+            model.load_state_dict(
+                {k: torch.asarray(np.asarray(v))
+                 for k, v in init_state_dicts[fold - 1].items()},
+                strict=True)
+        else:
+            model = build_torch_gated_net(rna.shape[1])
         opt = torch.optim.Adam(model.parameters(), lr=learning_rate,
                                weight_decay=weight_decay)
         sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
@@ -183,6 +201,237 @@ def run_torch_partial_modality_cv(
                             best_epoch=best_epoch,
                             train_size=len(train_rows),
                             val_size=len(val_rows), history=history))
+    return results
+
+
+def _cox_loss_masked_torch(hazard, time, event, valid):
+    """ops/cox.py masked semantics in torch: Cox over the valid subset; a
+    degenerate subset (<2 rows or 0 events) contributes exactly 0 — the same
+    pinned behavior as the JAX masked loss (tests/test_numeric_pins.py)."""
+    import torch
+
+    sel = valid > 0
+    if int(sel.sum()) < 2 or float(event[sel].sum()) == 0:
+        return torch.zeros(())
+    return cox_loss_torch(hazard[sel], time[sel], event[sel])
+
+
+def run_torch_image_only_cv(
+    arrays: dict,
+    n_folds: int = 5,
+    num_epochs: int = 30,
+    batch_size: int = 8,
+    learning_rate: float = 1e-4,
+    weight_decay: float = 1e-4,
+    patience: int = 15,
+    grad_clip: float = 1.0,
+    seed: int = 42,
+    split_seed: int | None = None,
+):
+    """Torch twin of the IMAGE-ONLY trainer reconstruction (the reference
+    ships the ImageOnlyModel only inside generate_km_curves.py:28-54 with NO
+    training script; the framework reconstructs the trainer from the
+    results/image_only artifacts + the final_multimodal.py conventions:
+    Adam(L2 wd=1e-4), plateau-on-val-C, clip 1.0, patience-15, bs=8 —
+    config.py:IMAGE_ONLY). This twin implements the IDENTICAL reconstruction
+    in torch so the two trainers' dynamics can be compared on the same
+    arrays with bit-identical folds."""
+    import torch
+    from sklearn.model_selection import KFold
+
+    from .torch_reference_named import build_reference_named_image_only
+
+    split_seed = seed if split_seed is None else split_seed
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+
+    image = torch.asarray(
+        np.moveaxis(np.asarray(arrays["image"], np.float32), -1, 1))
+    time_t = torch.asarray(np.asarray(arrays["time"], np.float32))
+    event_t = torch.asarray(np.asarray(arrays["event"], np.float32))
+    svalid_t = torch.asarray(np.asarray(arrays["svalid"], np.float32))
+    time_np = np.asarray(arrays["time"], np.float64)
+    event_np = np.asarray(arrays["event"])
+
+    kfold = KFold(n_splits=n_folds, shuffle=True, random_state=split_seed)
+    results = []
+    for fold, (tr, va) in enumerate(kfold.split(np.arange(len(time_np))),
+                                    start=1):
+        model = build_reference_named_image_only()
+        opt = torch.optim.Adam(model.parameters(), lr=learning_rate,
+                               weight_decay=weight_decay)
+        sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="max", factor=0.5, patience=5)
+        tr_idx = torch.asarray(tr)
+        best_c, best_epoch, bad, history = -np.inf, 0, 0, []
+        for epoch in range(1, num_epochs + 1):
+            model.train()
+            perm = tr_idx[torch.randperm(len(tr_idx))]
+            ep_losses = []
+            for s in range(0, len(perm), batch_size):
+                b = perm[s:s + batch_size]
+                if len(b) < 2:
+                    continue  # BatchNorm needs >= 2 rows
+                opt.zero_grad()
+                h = model(image[b])
+                loss = _cox_loss_masked_torch(h, time_t[b], event_t[b],
+                                              svalid_t[b])
+                if not loss.requires_grad:
+                    continue  # degenerate batch: nothing to backprop
+                loss.backward()
+                torch.nn.utils.clip_grad_norm_(model.parameters(), grad_clip)
+                opt.step()
+                ep_losses.append(float(loss.detach()))
+
+            model.eval()
+            with torch.no_grad():
+                hv = model(image[va]).numpy()
+            val_c = harrell_cindex_np(hv, time_np[va], event_np[va])
+            sched.step(val_c)
+            history.append(dict(epoch=epoch,
+                                train_loss=float(np.mean(ep_losses or [0])),
+                                val_c_index=val_c))
+            if val_c > best_c:
+                best_c, best_epoch, bad = val_c, epoch, 0
+            else:
+                bad += 1
+            if patience is not None and bad >= patience:
+                break
+        results.append(dict(fold=fold, best_c_index=float(best_c),
+                            best_epoch=best_epoch, train_size=len(tr),
+                            val_size=len(va), history=history))
+    return results
+
+
+def run_torch_simmlm_cv(
+    arrays: dict,
+    n_folds: int = 3,
+    stage1_epochs: int = 30,
+    num_epochs: int = 50,
+    batch_size: int = 8,
+    learning_rate: float = 1e-4,
+    weight_decay: float = 1e-4,
+    mofe_lambda: float = 0.1,
+    patience: int = 15,
+    grad_clip: float = 1.0,
+    seed: int = 42,
+    split_seed: int | None = None,
+    use_monai: bool = True,
+):
+    """Torch twin of the SimMLM TWO-STAGE MoFe reconstruction — the riskiest
+    trainer reconstruction in the repo (the reference ships NO SimMLM
+    training script; the schedule is reconstructed from
+    results/simmim/cv_results.json hyperparameters — stage1_epochs=30,
+    stage2 50, mofe_lambda=0.1 — and the model's per-expert cox heads,
+    reference generate_km_curves.py:160-281). This twin implements the SAME
+    reconstruction in torch (train/adapters.py semantics):
+
+      stage 1: loss = mean of the 3 per-expert masked Cox losses (each
+        expert's own cox head on samples where that modality is present AND
+        labeled), ensemble head OFF, fixed LR, no model selection.
+      stage 2: loss = ensemble Cox + mofe_lambda * mean per-expert Cox,
+        plateau-on-val-C schedule, patience early stop, best-val-C tracking.
+      ONE Adam across both stages (the JAX engine carries opt_state through
+      the stage boundary).
+    """
+    import torch
+    from sklearn.model_selection import KFold
+
+    from .torch_reference_named import build_reference_named_simmlm
+
+    split_seed = seed if split_seed is None else split_seed
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+
+    image = torch.asarray(
+        np.moveaxis(np.asarray(arrays["image"], np.float32), -1, 1))
+    rna = torch.asarray(np.asarray(arrays["rnaseq"], np.float32))
+    clin = torch.asarray(np.asarray(arrays["clinical"], np.float32))
+    mask = torch.asarray(np.asarray(arrays["mask"], np.float32))
+    time_t = torch.asarray(np.asarray(arrays["time"], np.float32))
+    event_t = torch.asarray(np.asarray(arrays["event"], np.float32))
+    svalid_t = torch.asarray(np.asarray(arrays["svalid"], np.float32))
+    time_np = np.asarray(arrays["time"], np.float64)
+    event_np = np.asarray(arrays["event"])
+
+    def expert_cox_mean(experts, b):
+        loss = torch.zeros(())
+        for m in range(3):
+            loss = loss + _cox_loss_masked_torch(
+                experts[:, m], time_t[b], event_t[b],
+                svalid_t[b] * mask[b][:, m])
+        return loss / 3.0
+
+    kfold = KFold(n_splits=n_folds, shuffle=True, random_state=split_seed)
+    results = []
+    for fold, (tr, va) in enumerate(kfold.split(np.arange(len(time_np))),
+                                    start=1):
+        model = build_reference_named_simmlm(rna.shape[1],
+                                             use_monai=use_monai)
+        opt = torch.optim.Adam(model.parameters(), lr=learning_rate,
+                               weight_decay=weight_decay)
+        tr_idx = torch.asarray(tr)
+
+        def run_batch(b, stage2: bool):
+            opt.zero_grad()
+            ensemble, experts, _g = model(image[b], rna[b], clin[b], mask[b])
+            aux = expert_cox_mean(experts, b)
+            if stage2:
+                loss = _cox_loss_masked_torch(
+                    ensemble, time_t[b], event_t[b], svalid_t[b]
+                ) + mofe_lambda * aux
+            else:
+                loss = aux
+            if not loss.requires_grad:
+                return None  # every sub-loss degenerate: nothing to step
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), grad_clip)
+            opt.step()
+            return float(loss.detach())
+
+        # ---- stage 1: expert pretraining, fixed LR, no selection ----
+        model.train()
+        for epoch in range(1, stage1_epochs + 1):
+            perm = tr_idx[torch.randperm(len(tr_idx))]
+            for s in range(0, len(perm), batch_size):
+                b = perm[s:s + batch_size]
+                if len(b) < 2:
+                    continue
+                run_batch(b, stage2=False)
+
+        # ---- stage 2: ensemble + MoFe, plateau, early stop ----
+        sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="max", factor=0.5, patience=5)
+        best_c, best_epoch, bad, history = -np.inf, 0, 0, []
+        for epoch in range(1, num_epochs + 1):
+            model.train()
+            perm = tr_idx[torch.randperm(len(tr_idx))]
+            ep_losses = []
+            for s in range(0, len(perm), batch_size):
+                b = perm[s:s + batch_size]
+                if len(b) < 2:
+                    continue
+                loss = run_batch(b, stage2=True)
+                if loss is not None:
+                    ep_losses.append(loss)
+
+            model.eval()
+            with torch.no_grad():
+                hv = model(image[va], rna[va], clin[va], mask[va])[0].numpy()
+            val_c = harrell_cindex_np(hv, time_np[va], event_np[va])
+            sched.step(val_c)
+            history.append(dict(epoch=epoch,
+                                train_loss=float(np.mean(ep_losses or [0])),
+                                val_c_index=val_c))
+            if val_c > best_c:
+                best_c, best_epoch, bad = val_c, epoch, 0
+            else:
+                bad += 1
+            if patience is not None and bad >= patience:
+                break
+        results.append(dict(fold=fold, best_c_index=float(best_c),
+                            best_epoch=best_epoch, train_size=len(tr),
+                            val_size=len(va), history=history))
     return results
 
 

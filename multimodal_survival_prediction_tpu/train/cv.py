@@ -130,6 +130,7 @@ def run_cross_validation(
     streaming: bool = False,
     sharded_risk_set: bool = False,
     aot_cache_dir=None,
+    init_hook=None,
 ):
     """Full CV run for one model config. Returns (payload, fold_outcomes).
 
@@ -143,7 +144,14 @@ def run_cross_validation(
     whose arrays exceed HBM. Same trajectory as the default device-resident
     scan path (identical batch order + per-step dropout-key chain,
     tests/test_train_e2e.py::test_streaming_epoch_matches_scan_epoch); the
-    scan path is faster whenever the data fits."""
+    scan path is faster whenever the data fits.
+
+    `init_hook`: optional callable ``(fold, state) -> state | None`` applied
+    right after each fold's ``init_state`` — returning a (possibly modified)
+    TrainState replaces the fold's initial state; returning None keeps it.
+    Used by the init-matched parity harness to capture (or substitute) each
+    fold's exact initial weights so the torch oracle can start from
+    IDENTICAL initial parameters (run_parity_flagship_initmatched.py)."""
     name = cfg.name
     num_epochs = num_epochs or cfg.num_epochs
 
@@ -217,6 +225,8 @@ def run_cross_validation(
     for fold, (train_rows, val_rows, train_survival_size) in enumerate(
             splits, start=1):
         state = trainer.init_state(example, fold=fold)
+        if init_hook is not None:
+            state = init_hook(fold, state) or state
 
         shuffle_rng = np.random.default_rng(cfg.seed + fold)
         dropout_key = jax.random.PRNGKey(cfg.seed * 1000 + fold)

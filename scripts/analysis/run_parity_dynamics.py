@@ -1,0 +1,269 @@
+#!/usr/bin/env python
+"""Training-DYNAMICS twin parity for the image_only and SimMLM families
+(VERDICT r3 #2): torch oracle vs JAX build, full CV, same arrays,
+bit-identical folds.
+
+These two families carry the repo's riskiest trainer RECONSTRUCTIONS — the
+reference ships neither trainer:
+
+* image_only — model only in reference generate_km_curves.py:28-54; the
+  trainer is reconstructed from results/image_only artifacts + the
+  final_multimodal.py conventions (config.py:IMAGE_ONLY).
+* simmim — model in reference generate_km_curves.py:160-281; the two-stage
+  MoFe schedule (stage1 expert pretraining -> stage2 ensemble + mofe_lambda
+  auxiliary) is reconstructed from results/simmim/cv_results.json
+  hyperparameters (train/adapters.py).
+
+Each run drives `benchmarks/torch_twin.py`'s torch implementation of the
+SAME reconstruction and the framework's full CV driver on identical arrays,
+then compares per-fold best val C-indices (band) and the torch oracle's own
+init-seed spread (is the JAX mean inside the oracle's seed range?) — the
+same evidence format as PARITY_TWIN.md / PARITY_TWIN_FLAGSHIP.md.
+
+Appends a section per family to PARITY_TWIN.md and writes
+parity_dynamics_<family>.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO_ROOT))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", choices=["image_only", "simmim"], required=True)
+    p.add_argument("--n-patients", type=int, default=96)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="stage-2/main epochs (default: image_only 30, "
+                        "simmim 12 — the reference counts are 50/30+50; "
+                        "scaled down to keep the torch-CPU oracle feasible, "
+                        "the SCHEDULE semantics are what is under test)")
+    p.add_argument("--stage1-epochs", type=int, default=10,
+                   help="simmim stage-1 epochs (reference count 30)")
+    p.add_argument("--n-folds", type=int, default=3)
+    p.add_argument("--torch-seeds", type=int, default=3)
+    p.add_argument("--band", type=float, default=0.08)
+    p.add_argument("--image-shape", default="32,32,32")
+    p.add_argument("--out-dir", default=str(REPO_ROOT))
+    p.add_argument("--data-root", default=None)
+    args = p.parse_args()
+
+    import dataclasses
+
+    import numpy as np
+
+    from benchmarks.torch_twin import (
+        run_torch_image_only_cv,
+        run_torch_simmlm_cv,
+    )
+    from multimodal_survival_prediction_tpu.config import ALL_CONFIGS
+    from multimodal_survival_prediction_tpu.data.matching_table import (
+        load_matching_table,
+    )
+    from multimodal_survival_prediction_tpu.data.synthetic import (
+        SyntheticCohortSpec,
+        generate_synthetic_cohort,
+    )
+    from multimodal_survival_prediction_tpu.train.cv import (
+        prepare_cv_data,
+        run_cross_validation,
+    )
+
+    image_shape = tuple(int(x) for x in args.image_shape.split(","))
+    epochs = args.epochs or {"image_only": 30, "simmim": 12}[args.model]
+
+    if args.data_root:
+        root = Path(args.data_root)
+    else:
+        root = Path(tempfile.mkdtemp(prefix=f"parity_{args.model}_"))
+        generate_synthetic_cohort(
+            root, SyntheticCohortSpec(
+                n_patients=args.n_patients, p_imaging=0.8,
+                image_shapes=((40, 48, 48), (36, 40, 40))))
+        print(f"[dynamics:{args.model}] synthetic cohort "
+              f"({args.n_patients} patients) at {root}")
+
+    table = load_matching_table(
+        root / "data" / "processed" / "full_matching_table.csv")
+    rnaseq_csv = root / "data" / "processed" / "rnaseq_normalized_mapped.csv"
+
+    base = ALL_CONFIGS[args.model]
+    overrides = dict(n_folds=args.n_folds, image_shape=image_shape)
+    if args.model == "simmim":
+        overrides["stage1_epochs"] = args.stage1_epochs
+    cfg = dataclasses.replace(base, **overrides)
+
+    prepared = prepare_cv_data(cfg, table, rnaseq_csv=rnaseq_csv)
+    arrays, _splits = prepared
+    print(f"[dynamics:{args.model}] cohort rows: {arrays.n} "
+          f"(labeled {int(arrays.arrays['svalid'].sum())})")
+
+    t0 = time.monotonic()
+    torch_runs = {}
+    for s in range(args.torch_seeds):
+        seed = cfg.seed + s
+        if args.model == "image_only":
+            torch_runs[seed] = run_torch_image_only_cv(
+                arrays.arrays, n_folds=cfg.n_folds, num_epochs=epochs,
+                batch_size=cfg.batch_size, learning_rate=cfg.learning_rate,
+                weight_decay=cfg.weight_decay, patience=cfg.patience,
+                grad_clip=cfg.grad_clip, seed=seed, split_seed=cfg.seed)
+        else:
+            torch_runs[seed] = run_torch_simmlm_cv(
+                arrays.arrays, n_folds=cfg.n_folds,
+                stage1_epochs=cfg.stage1_epochs, num_epochs=epochs,
+                batch_size=cfg.batch_size, learning_rate=cfg.learning_rate,
+                weight_decay=cfg.weight_decay,
+                mofe_lambda=cfg.mofe_lambda, patience=cfg.patience,
+                grad_clip=cfg.grad_clip, seed=seed, split_seed=cfg.seed)
+        print(f"[dynamics:{args.model}] torch CV (init seed {seed}) done "
+              f"at +{time.monotonic() - t0:.1f}s")
+    torch_folds = torch_runs[cfg.seed]
+    torch_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    _, jax_outcomes = run_cross_validation(
+        cfg, table, rnaseq_csv=rnaseq_csv, num_epochs=epochs,
+        write_outputs=False, prepared=prepared)
+    jax_sec = time.monotonic() - t0
+    print(f"[dynamics:{args.model}] jax CV done in {jax_sec:.1f}s")
+
+    rows = []
+    for tf, jo in zip(torch_folds, jax_outcomes):
+        rows.append({
+            "fold": tf["fold"],
+            "torch_best_c": round(tf["best_c_index"], 4),
+            "jax_best_c": round(jo.best_c_index, 4),
+            "delta": round(jo.best_c_index - tf["best_c_index"], 4),
+            "torch_best_epoch": tf["best_epoch"],
+            "jax_best_epoch": jo.best_epoch,
+        })
+    t_mean = float(np.mean([r["torch_best_c"] for r in rows]))
+    j_mean = float(np.mean([r["jax_best_c"] for r in rows]))
+    t_std = float(np.std([r["torch_best_c"] for r in rows]))
+    j_std = float(np.std([r["jax_best_c"] for r in rows]))
+    mean_delta = j_mean - t_mean
+    ok = abs(mean_delta) <= args.band
+    seed_means = {
+        s: round(float(np.mean([f["best_c_index"] for f in folds])), 4)
+        for s, folds in torch_runs.items()
+    }
+
+    payload = {
+        "model": args.model,
+        "config": {"n_patients": args.n_patients, "epochs": epochs,
+                   "stage1_epochs": (cfg.stage1_epochs
+                                     if args.model == "simmim" else None),
+                   "n_folds": cfg.n_folds, "batch_size": cfg.batch_size,
+                   "image_shape": list(image_shape),
+                   "cohort_rows": int(arrays.n), "band": args.band},
+        "torch": {"c_index_mean": round(t_mean, 4),
+                  "c_index_std": round(t_std, 4),
+                  "seconds": round(torch_sec, 1),
+                  "cv_mean_per_init_seed": seed_means},
+        "jax": {"c_index_mean": round(j_mean, 4),
+                "c_index_std": round(j_std, 4),
+                "seconds": round(jax_sec, 1)},
+        "mean_delta": round(mean_delta, 4),
+        "within_band": ok,
+        "folds": rows,
+    }
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / f"parity_dynamics_{args.model}.json").write_text(
+        json.dumps(payload, indent=2))
+
+    title = {"image_only": "image_only dynamics twin",
+             "simmim": "SimMLM two-stage dynamics twin"}[args.model]
+    what = {
+        "image_only":
+            "torch side: `benchmarks/torch_twin.py:run_torch_image_only_cv` "
+            "— the SAME trainer reconstruction (the reference ships the "
+            "ImageOnlyModel only inside generate_km_curves.py:28-54 with no "
+            "trainer) implemented independently in torch: Adam(L2 wd), "
+            "plateau-on-val-C, clip 1.0, patience early stop, pooled "
+            "per-epoch val C.",
+        "simmim":
+            "torch side: `benchmarks/torch_twin.py:run_torch_simmlm_cv` — "
+            "the two-stage MoFe schedule reconstruction (reference ships NO "
+            "SimMLM trainer; schedule from results/simmim/cv_results.json: "
+            "stage-1 expert pretraining at fixed LR -> stage-2 ensemble Cox "
+            "+ mofe_lambda x mean per-expert masked Cox, one Adam across "
+            "both stages, plateau + patience in stage 2) implemented "
+            "independently in torch against the reference-named "
+            "SimMLM_SurvivalNet (generate_km_curves.py:160-281).",
+    }[args.model]
+    lines = [
+        f"## {title} (appended)",
+        "",
+        "Same synthetic cohort, identical arrays (framework data layer), "
+        "bit-identical sklearn KFold(seed 42) splits. " + what
+        + " JAX side: the framework's full CV driver.",
+        "",
+        f"Cohort: {arrays.n} patients, {epochs} epochs"
+        + (f" (+{cfg.stage1_epochs} stage-1)" if args.model == "simmim"
+           else "")
+        + f", {cfg.n_folds} folds, bs={cfg.batch_size}, image {image_shape}."
+        + (" Epoch counts scaled down from the reference 30+50 to keep the "
+           "torch-CPU oracle feasible — the schedule SEMANTICS are what is "
+           "under test." if args.model == "simmim" else ""),
+        "",
+        "| fold | torch best C | JAX best C | delta | torch best epoch | "
+        "JAX best epoch |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['fold']} | {r['torch_best_c']:.4f} | "
+            f"{r['jax_best_c']:.4f} | {r['delta']:+.4f} | "
+            f"{r['torch_best_epoch']} | {r['jax_best_epoch']} |")
+    lines += [
+        "",
+        f"**torch mean ± std: {t_mean:.4f} ± {t_std:.4f}**  ",
+        f"**JAX   mean ± std: {j_mean:.4f} ± {j_std:.4f}**  ",
+        f"**mean delta: {mean_delta:+.4f}** "
+        f"(band ±{args.band}: {'WITHIN' if ok else 'OUTSIDE'})",
+        "",
+    ]
+    if len(seed_means) > 1:
+        spread = max(seed_means.values()) - min(seed_means.values())
+        inside = (min(seed_means.values()) - 1e-9 <= j_mean
+                  <= max(seed_means.values()) + 1e-9)
+        lines += [
+            "Torch oracle CV mean at different init seeds (identical "
+            "splits): "
+            + ", ".join(f"seed {s}: {m:.4f}"
+                        for s, m in sorted(seed_means.items()))
+            + f" — seed-to-seed spread {spread:.4f}. The JAX mean "
+            f"({j_mean:.4f}) falls "
+            + ("INSIDE the oracle's own seed range."
+               if inside else
+               "outside the oracle's seed range by "
+               f"{min(abs(j_mean - m) for m in seed_means.values()):.4f}."),
+            "",
+        ]
+    lines += [
+        f"Generated by `scripts/analysis/run_parity_dynamics.py --model "
+        f"{args.model}` (torch {torch_sec:.0f}s, jax {jax_sec:.0f}s).",
+        "",
+    ]
+    md = out_dir / "PARITY_TWIN.md"
+    if md.exists():
+        md.write_text(md.read_text().rstrip() + "\n\n" + "\n".join(lines))
+    else:
+        md.write_text("\n".join(lines))
+    print(json.dumps(payload, indent=2))
+    print(f"[dynamics:{args.model}] appended to {md}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
