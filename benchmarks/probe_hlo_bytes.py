@@ -82,11 +82,15 @@ def parse_computations(hlo: str) -> dict:
     return comps
 
 
+_OPCODE_RE = re.compile(r"\s([a-z][a-z0-9\-]+)\(")
+
+
 def opcode_of(rhs: str) -> str:
-    """The HLO opcode from an instruction's right-hand side."""
-    # rhs looks like: "bf16[128,...]{...} fusion(...), kind=..." — opcode is
-    # the first bare word after the output shape
-    m = re.match(r"^(?:\([^)]*\)|\S+)\s+([a-z][\w\-]*)", rhs)
+    """The HLO opcode from an instruction's right-hand side: the first
+    lowercase word directly followed by '(' — dtypes are followed by '['
+    and never by '(', so this skips the output shape (incl. tuple shapes,
+    which the old leading-token heuristic mis-parsed)."""
+    m = _OPCODE_RE.search(rhs)
     return m.group(1) if m else "?"
 
 
@@ -94,7 +98,8 @@ def category_of(op_name: str, opcode: str) -> str:
     s = op_name.lower()
     if "conv" in s or opcode == "convolution":
         return "conv"
-    if "batch_norm" in s or "batchnorm" in s or "/bn/" in s:
+    if ("batch_norm" in s or "batchnorm" in s or "/bn/" in s
+            or re.search(r"/norm\d", s)):
         return "batch_norm"
     if "concat" in s or opcode == "concatenate":
         return "concat"
@@ -112,6 +117,59 @@ def category_of(op_name: str, opcode: str) -> str:
                                                "collective-permute"):
         return "collective"
     return "other"
+
+
+_CALLS_RE = re.compile(r"calls=%?([\w.\-]+)")
+_LAYER_RE = re.compile(
+    r"(block\d+_layer\d+|block\d+|transition\d+|conv0|norm0|norm5|head|"
+    r"rna_encoder|clinical_encoder|gate\d?|fusion_block|fusion_proj|"
+    r"cox_head|clip_by_global_norm|adam|scale_by_adam|logcumsumexp|"
+    r"cox|entropy|sort)")
+
+
+def _comp_op_names(comps: dict, comp_name: str, limit: int = 400) -> list:
+    """op_name metadata strings inside a (fused) computation."""
+    out = []
+    for line in comps.get(comp_name, [])[:limit]:
+        m = _OPNAME_RE.search(line)
+        if m:
+            out.append(m.group(1))
+    return out
+
+
+def _attribute(rows_op_names: list, opcode: str,
+               comp_lines: list | None = None) -> tuple:
+    """(category, representative op_name) from a set of op_name strings —
+    used for fusions whose own instruction carries no metadata: the fused
+    computation's internals name the model layers they came from. When the
+    computation carries no metadata at all, fall back to its OPCODES
+    (dynamic-update-slice -> scan-carry traffic, etc.)."""
+    cats = [category_of(n, "") for n in rows_op_names]
+    text = "\n".join(comp_lines) if comp_lines else ""
+    # trunk materialization first: a fusion of dynamic-update-slices writing
+    # a layer's growth channels into (several) wider concat-trunk buffers —
+    # the dominant DenseNet traffic pattern — often carries only a bitcast's
+    # ".../transpose" metadata and would otherwise mislabel as transpose
+    if ("dynamic-update-slice(" in text and "convolution(" not in text
+            and "dot(" not in text and "conv" not in cats):
+        rep = rows_op_names[0] if rows_op_names else ""
+        return "trunk_dus", rep
+    for prefer in ("conv", "matmul", "batch_norm", "concat", "pooling",
+                   "optimizer", "collective", "transpose"):
+        if prefer in cats:
+            rep = rows_op_names[cats.index(prefer)]
+            return prefer, rep
+    if rows_op_names:
+        return category_of(rows_op_names[0], opcode), rows_op_names[0]
+    if text:
+        for needle, cat in (("convolution(", "conv"), ("dot(", "matmul"),
+                            ("concatenate(", "concat"),
+                            ("reduce-window(", "pooling"),
+                            ("transpose(", "transpose"),
+                            ("sort(", "sort")):
+            if needle in text:
+                return cat, ""
+    return category_of("", opcode), ""
 
 
 def analyze(hlo: str, body_hint: str = "while") -> dict:
@@ -140,23 +198,54 @@ def analyze(hlo: str, body_hint: str = "while") -> dict:
         # strip the trailing metadata/backend_config so their shape-free text
         # can't confuse the operand scan; shapes live in output + operand list
         core = rhs.split(", metadata=")[0].split(", backend_config=")[0]
-        # drop calls=%fused_computation refs (no shapes there anyway)
-        b = shape_bytes(core)
+        if opcode.endswith("-start"):
+            # async pairs (copy-start/copy-done, async-start/-done): the
+            # start side READS its operands, the done side WRITES the result
+            # — counting both sides' full tuples would double-charge the
+            # transfer. Count operands here, output at the -done.
+            om = _OPCODE_RE.search(core)
+            b = shape_bytes(core[om.end():]) if om else shape_bytes(core)
+        elif opcode.endswith("-done"):
+            om = _OPCODE_RE.search(core)
+            b = shape_bytes(core[:om.start()]) if om else shape_bytes(core)
+        else:
+            b = shape_bytes(core)
         opn = _OPNAME_RE.search(rhs)
+        op_name = opn.group(1) if opn else ""
+        category = category_of(op_name, opcode)
+        if not op_name and (opcode == "fusion"
+                            or opcode.startswith(("async", "copy"))):
+            # attribute an unnamed fusion via its called computation's
+            # internal op_name metadata (or its opcodes as a fallback)
+            cm = _CALLS_RE.search(rhs)
+            if cm:
+                category, op_name = _attribute(
+                    _comp_op_names(comps, cm.group(1)), opcode,
+                    comp_lines=comps.get(cm.group(1)))
         rows.append({
             "instr": name,
             "opcode": opcode,
             "bytes": b,
-            "op_name": opn.group(1) if opn else "",
+            "op_name": op_name,
+            "category": category,
+            "direction": ("bwd" if "transpose(jvp" in op_name else
+                          "fwd" if "jvp" in op_name else "?"),
+            "layer": (_LAYER_RE.search(op_name).group(1)
+                      if _LAYER_RE.search(op_name) else ""),
         })
     total = sum(r["bytes"] for r in rows)
     by_cat = defaultdict(int)
+    by_layer = defaultdict(int)
+    by_dir = defaultdict(int)
     for r in rows:
-        r["category"] = category_of(r["op_name"], r["opcode"])
         by_cat[r["category"]] += r["bytes"]
+        by_layer[r["layer"] or "(unattributed)"] += r["bytes"]
+        by_dir[r["direction"]] += r["bytes"]
     rows.sort(key=lambda r: -r["bytes"])
     return {"body": body_name, "n_instructions": len(rows),
-            "total_bytes": total, "by_category": dict(by_cat), "rows": rows}
+            "total_bytes": total, "by_category": dict(by_cat),
+            "by_layer": dict(by_layer), "by_direction": dict(by_dir),
+            "rows": rows}
 
 
 def get_headline_hlo(batch: int, dtype_name: str, source: str):
@@ -299,6 +388,15 @@ def main():
     print("\nby category (GB/step):")
     for cat, b in sorted(rep["by_category"].items(), key=lambda kv: -kv[1]):
         print(f"  {cat:<12} {b / 1e9:8.3f}  "
+              f"({100 * b / rep['total_bytes']:5.1f}%)")
+    print("\nby direction (GB/step):")
+    for d, b in sorted(rep["by_direction"].items(), key=lambda kv: -kv[1]):
+        print(f"  {d:<4} {b / 1e9:8.3f}  "
+              f"({100 * b / rep['total_bytes']:5.1f}%)")
+    print("\nby layer group (GB/step, top 20):")
+    for lyr, b in sorted(rep["by_layer"].items(),
+                         key=lambda kv: -kv[1])[:20]:
+        print(f"  {lyr:<24} {b / 1e9:8.3f}  "
               f"({100 * b / rep['total_bytes']:5.1f}%)")
     print(f"\ntop {args.top} instructions:")
     for r in rep["rows"][:args.top]:
