@@ -36,7 +36,8 @@ PEAK_HBM_BYTES_PER_SEC = 819e9  # v5e HBM bandwidth
 K = 64  # steps per dispatch
 
 
-def probe(batch, timed_dispatches=3, discard=1, remat=False):
+def probe(batch, timed_dispatches=3, discard=1, remat=False,
+          trunk="concat"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,7 +47,7 @@ def probe(batch, timed_dispatches=3, discard=1, remat=False):
     from bench import IMAGE_SHAPE, RNA_DIM, make_flagship_step
     from multimodal_survival_prediction_tpu.models import PartialModalityNet
 
-    model = PartialModalityNet(dtype=jnp.bfloat16, remat=remat)
+    model = PartialModalityNet(dtype=jnp.bfloat16, remat=remat, trunk=trunk)
     b_np = _example_batch(batch, IMAGE_SHAPE, RNA_DIM)
     data_b = jax.device_put(b_np)
     rng = jax.random.PRNGKey(0)
@@ -112,6 +113,7 @@ def probe(batch, timed_dispatches=3, discard=1, remat=False):
     out = {
         "batch": batch,
         "remat": remat,
+        "trunk": trunk,
         "steps_per_sec": round(steps_per_sec, 2),
         "patients_per_sec": round(steps_per_sec * batch, 1),
         "ms_per_step": round(1000.0 / steps_per_sec, 2),
@@ -138,10 +140,14 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize DenseNet dense layers (trade recompute"
                         " FLOPs for activation HBM traffic)")
+    p.add_argument("--trunk", default="concat", choices=["concat", "dus"],
+                   help="DenseNet concat-trunk strategy (round-4 HBM lever: "
+                        "'dus' preallocates one full-width trunk per block, "
+                        "models/densenet3d.py)")
     args = p.parse_args()
     for b in (int(x) for x in args.batches.split(",")):
         print(json.dumps(probe(b, timed_dispatches=args.timed_dispatches,
-                               remat=args.remat)),
+                               remat=args.remat, trunk=args.trunk)),
               flush=True)
 
 

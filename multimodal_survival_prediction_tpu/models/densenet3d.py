@@ -65,6 +65,10 @@ class DenseLayer(nn.Module):
     dropout: float
     train: bool
     dtype: jnp.dtype | None = None
+    # concat=False returns only the growth channels (the shared-trunk 'dus'
+    # path below owns the trunk buffer and writes them in place); the param
+    # tree is IDENTICAL either way, so checkpoints are interchangeable.
+    concat: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -79,6 +83,8 @@ class DenseLayer(nn.Module):
         y = _Conv(self.growth_rate, 3, dtype=self.dtype, name="conv2")(y)
         if self.dropout > 0:
             y = nn.Dropout(self.dropout, deterministic=not self.train)(y)
+        if not self.concat:
+            return y
         return jnp.concatenate([x, y], axis=-1)
 
 
@@ -107,6 +113,21 @@ class DenseNet121_3D(nn.Module):
     dropout: float = 0.0
     remat: bool = False  # rematerialize dense layers: trade FLOPs for HBM
     dtype: jnp.dtype | None = None
+    # Concat-trunk strategy (round-4 HBM lever, docs/PERF.md):
+    #   'concat' — jnp.concatenate per layer (the reference/MONAI/torch
+    #     pattern). XLA materializes width-specialized trunk copies: the
+    #     bs=128 HLO shows each layer's 32 growth channels dynamic-update-
+    #     sliced into up to THREE separate trunk buffers plus
+    #     AllocateBuffer+copy chains — ~34% of the step's modeled HBM bytes.
+    #   'dus' — ONE preallocated full-width trunk per block; each layer
+    #     reads a static channel-prefix slice and writes its growth channels
+    #     with lax.dynamic_update_slice_in_dim at a static offset. Version
+    #     chains are linear (each trunk version has a single consumer), so
+    #     XLA can update in place instead of copying per consumer width.
+    # Math is identical (each conv/BN reads exactly the values the concat
+    # version would hand it); the param tree is identical, so checkpoints
+    # are interchangeable across modes (tests/test_models.py pins both).
+    trunk: str = "concat"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -133,11 +154,30 @@ class DenseNet121_3D(nn.Module):
                      if self.remat else DenseLayer)
         channels = self.init_features
         for bi, num_layers in enumerate(self.block_config):
-            for li in range(num_layers):
-                x = layer_cls(
-                    self.growth_rate, self.bn_size, self.dropout, train,
-                    dtype=self.dtype, name=f"block{bi}_layer{li}",
-                )(x)
+            if self.trunk == "dus":
+                total = channels + num_layers * self.growth_rate
+                # one full-width trunk per block; the initial pad is the only
+                # whole-trunk write (per block, not per layer)
+                trunk = jnp.pad(
+                    x, [(0, 0)] * 4 + [(0, total - x.shape[-1])])
+                off = channels
+                for li in range(num_layers):
+                    xin = jax.lax.slice_in_dim(trunk, 0, off, axis=4)
+                    y = layer_cls(
+                        self.growth_rate, self.bn_size, self.dropout, train,
+                        dtype=self.dtype, concat=False,
+                        name=f"block{bi}_layer{li}",
+                    )(xin)
+                    trunk = jax.lax.dynamic_update_slice_in_dim(
+                        trunk, y.astype(trunk.dtype), off, axis=4)
+                    off += self.growth_rate
+                x = trunk
+            else:
+                for li in range(num_layers):
+                    x = layer_cls(
+                        self.growth_rate, self.bn_size, self.dropout, train,
+                        dtype=self.dtype, name=f"block{bi}_layer{li}",
+                    )(x)
             channels += num_layers * self.growth_rate
             if bi != len(self.block_config) - 1:
                 channels //= 2

@@ -92,6 +92,7 @@ class ImageEncoder(nn.Module):
     # None = DenseNet121's (6, 12, 24, 16); shorter configs for small data /
     # tests (fewer halvings -> smaller minimum input)
     block_config: tuple | None = None
+    trunk: str = "concat"  # concat-trunk strategy (densenet3d.py docstring)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -100,7 +101,7 @@ class ImageEncoder(nn.Module):
                       if self.block_config is not None else {})
             return DenseNet121_3D(
                 out_features=self.out_features, remat=self.remat,
-                dtype=self.dtype, name="densenet", **kwargs,
+                dtype=self.dtype, trunk=self.trunk, name="densenet", **kwargs,
             )(x, train=train)
         return SimpleCNN3D(
             out_features=self.out_features, dtype=self.dtype, name="cnn",

@@ -23,6 +23,7 @@ class PartialModalityNet(nn.Module):
     # None = full DenseNet121 blocks; shorter configs shrink the CT encoder
     # for small inputs (tests, tiny cohorts)
     block_config: tuple | None = None
+    trunk: str = "concat"  # DenseNet concat-trunk strategy (densenet3d.py)
 
     @nn.compact
     def __call__(self, ct, rna, clinical, mask, *, train: bool = False):
@@ -32,6 +33,7 @@ class PartialModalityNet(nn.Module):
         ct_feat = ImageEncoder(128, backbone=self.backbone, remat=self.remat,
                                dtype=self.dtype,
                                block_config=self.block_config,
+                               trunk=self.trunk,
                                name="ct_encoder")(ct, train=train)
         rna_feat = RNAEncoderCompact(128, dtype=self.dtype,
                                      name="rna_encoder")(rna, train=train)

@@ -102,6 +102,44 @@ def test_densenet_remat_matches(batch):
     assert grads[0] == pytest.approx(grads[1], rel=1e-5)
 
 
+def test_densenet_trunk_dus_matches_concat():
+    """trunk='dus' (shared preallocated trunk, round-4 HBM lever) is the
+    SAME function as the reference concat form: identical param tree (so
+    checkpoints are interchangeable across modes), matching forward values,
+    batch_stats, and gradients — including dropout (same rng consumption
+    order) and training-mode BN."""
+    import jax
+
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        size=(2, 16, 16, 8, 1)), jnp.float32)
+    outs, stats, grads, trees = [], [], [], []
+    for trunk in ("concat", "dus"):
+        m = DenseNet121_3D(out_features=8, block_config=(2, 3),
+                           init_features=8, growth_rate=4, dropout=0.3,
+                           trunk=trunk)
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(0)}, x, train=False)
+        trees.append(jax.tree_util.tree_structure(v["params"]))
+
+        def loss(p):
+            out, mut = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"])
+            return (out ** 2).sum(), mut["batch_stats"]
+
+        (val, bs), g = jax.value_and_grad(loss, has_aux=True)(v["params"])
+        outs.append(float(val))
+        stats.append(jax.tree_util.tree_leaves(bs))
+        grads.append(jax.tree_util.tree_leaves(g))
+    assert trees[0] == trees[1]  # checkpoint-interchangeable
+    assert outs[0] == pytest.approx(outs[1], rel=1e-5)
+    for a, b in zip(stats[0], stats[1]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    for a, b in zip(grads[0], grads[1]):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize("build", [
     lambda b: (RNASeqSurvivalModel(), (b["rnaseq"],), (B,)),
     lambda b: (ImageOnlyModel(), (b["image"],), (B,)),
