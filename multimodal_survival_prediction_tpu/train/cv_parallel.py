@@ -30,9 +30,18 @@ tests/test_cv_parallel.py). Early-stopped folds keep computing (their
 records are frozen on the host) — total wall-clock is the SLOWEST fold's
 stop epoch, not the sum.
 
+Streaming composition (round 4): ``streaming=True`` keeps the cohort
+HOST-resident and double-buffers STACKED (K, B, ...) batches onto the device
+(data/pipeline.BatchPrefetcher), advancing all K folds one step per dispatch
+via a vmapped single-step program — exceeds-HBM cohorts x compressed CV
+wall-clock. Same whole-step masking and per-fold dropout-key chain as the
+scan path, so trajectories match the device-resident driver exactly
+(tests/test_cv_parallel.py::test_parallel_cv_streaming_matches_device
+pins it). Prefer the device-resident scan whenever the cohort fits — one
+dispatch per EPOCH beats one per step.
+
 Not supported in this driver: resume checkpoints (use the sequential driver
-for resumable long runs) and streaming ingest (fold-parallel implies the
-cohort is device-resident).
+for resumable long runs).
 """
 
 from __future__ import annotations
@@ -170,6 +179,52 @@ def _build_parallel_eval(trainer: Trainer):
     return jax.jit(vmapped)
 
 
+def _build_parallel_train_step(trainer: Trainer):
+    """vmap-over-folds SINGLE-step twin of _build_parallel_train_epoch's scan
+    body, for the STREAMING path (per-step dispatch of a stacked (K, B, ...)
+    host-prefetched batch). Key chain matches the scan body exactly: the
+    per-fold key splits every step, masked or not, and whole-step masking
+    passes the carried state through unchanged — so given identical batch
+    order the streaming trajectory equals the scan trajectory."""
+    grad_fn = jax.value_and_grad(trainer._loss_fn, has_aux=True)
+    tx = trainer.tx
+
+    def fold_step(st, batch, lr, key, step_valid):
+        key, dkey = jax.random.split(key)
+        (loss, new_bs), grads = grad_fn(st.params, st.batch_stats, batch,
+                                        dkey)
+        updates, new_opt = tx.update(grads, st.opt_state, st.params, lr)
+        new_st = TrainState(
+            params=optax.apply_updates(st.params, updates),
+            batch_stats=new_bs, opt_state=new_opt, step=st.step + 1)
+        st = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(step_valid, new, old), st, new_st)
+        return st, key, jnp.where(step_valid, loss, 0.0)
+
+    return jax.jit(jax.vmap(fold_step), donate_argnums=(0,))
+
+
+def _build_parallel_eval_step(trainer: Trainer):
+    """vmap-over-folds single-batch eval for the STREAMING path: (K, B)
+    hazards + (K,) losses per stacked eval batch; pooling and the per-fold
+    C-index happen on host (same bucket-padded concordance_index the
+    sequential streaming eval uses)."""
+    from ..ops.cox import cox_partial_likelihood
+
+    def eval_step(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats,
+                     **trainer._extra_collections}
+        out = trainer.model.apply(
+            variables, *trainer.batch_to_inputs(batch), train=False)
+        hazard = trainer.hazard_and_aux(out, batch)[0]
+        loss = cox_partial_likelihood(
+            hazard, batch["time"], batch["event"], valid=batch["svalid"],
+            ties=trainer.cfg.ties)
+        return hazard, loss
+
+    return jax.jit(jax.vmap(eval_step, in_axes=(0, 0, 0)))
+
+
 def _stack_fold_indices(per_fold, batch_size, rngs):
     """Per-fold _pad_indices, then pad step counts to the cross-fold max with
     fully-invalid steps (idx 0, bvalid 0 — masked out as whole steps)."""
@@ -206,6 +261,7 @@ def run_cross_validation_parallel(
     num_epochs: int | None = None,
     write_outputs: bool = True,
     aot_cache_dir=None,
+    streaming: bool = False,
 ):
     """Fold-parallel CV run for one model config.
 
@@ -217,6 +273,10 @@ def run_cross_validation_parallel(
         the mesh has it with size > 1 (``make_fold_mesh(N, data_parallel)``),
         per-epoch index arrays are sharded (fold, -, data) so every fold is
         additionally batch-DP within its device group (2-D parallelism).
+      streaming: keep the cohort HOST-resident and double-buffer stacked
+        (K, B, ...) batches onto the device per step (module docstring) —
+        for cohorts whose arrays exceed HBM. Trajectories match the
+        device-resident path exactly.
 
     Returns (payload, fold_outcomes) with the same schema as the sequential
     ``run_cross_validation`` — fold results are interchangeable.
@@ -256,8 +316,13 @@ def run_cross_validation_parallel(
     )
     trainer = Trainer(model, batch_to_inputs, hazard_and_aux, tcfg)
 
-    data = arrays.to_device(mesh=mesh)
-    example = {k: v[:cfg.batch_size] for k, v in data.items()}
+    if streaming:
+        host_data = {k: np.asarray(v) for k, v in arrays.arrays.items()}
+        data = None
+    else:
+        data = arrays.to_device(mesh=mesh)
+    example = {k: np.asarray(v[:cfg.batch_size])
+               for k, v in arrays.arrays.items()}
     example["valid"] = example["svalid"]
 
     t_start = _time.monotonic()
@@ -315,9 +380,15 @@ def run_cross_validation_parallel(
             extra_meta={"driver": "cv_parallel", "model": cfg.name,
                         "batch_size": cfg.batch_size, "k_pad": k_pad})
 
-    train_fn = maybe_aot(_build_parallel_train_epoch(trainer),
-                         "par_train_epoch")
-    eval_fn = maybe_aot(_build_parallel_eval(trainer), "par_eval")
+    if streaming:
+        train_fn = maybe_aot(_build_parallel_train_step(trainer),
+                             "par_train_step")
+        eval_step_fn = maybe_aot(_build_parallel_eval_step(trainer),
+                                 "par_eval_step")
+    else:
+        train_fn = maybe_aot(_build_parallel_train_epoch(trainer),
+                             "par_train_epoch")
+        eval_fn = maybe_aot(_build_parallel_eval(trainer), "par_eval")
 
     # host-side per-fold bookkeeping, mirroring the sequential driver
     shuffle_rngs = [np.random.default_rng(cfg.seed + f)
@@ -331,24 +402,114 @@ def run_cross_validation_parallel(
 
     train_rows = [s[0] for s in padded_splits]
     val_rows = [s[1] for s in padded_splits]
-    # eval indices are epoch-invariant: build + place once
-    eidx, ebv = _stack_fold_indices(
+    # eval indices are epoch-invariant: build (+ place, device-resident mode)
+    # once
+    eidx_h, ebv_h = _stack_fold_indices(
         val_rows, tcfg.eval_batch_size, [None] * k_pad)
-    eidx, ebv = put_idx(eidx), put_idx(ebv)
+    if not streaming:
+        eidx, ebv = put_idx(eidx_h), put_idx(ebv_h)
 
     total_steps = 0
+
+    def stacked_batch_sharding():
+        if mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(
+            mesh, P(fold_axis, data_axis) if data_n > 1 else P(fold_axis))
 
     def run_stacked_epoch(fn, st, keys, lr_vec):
         nonlocal total_steps
         idx, bv = _stack_fold_indices(
             train_rows, cfg.batch_size, shuffle_rngs)
-        st, losses = fn(st, data, put_idx(idx), put_idx(bv),
-                        put(np.asarray(keys)),
-                        put(np.asarray(lr_vec, np.float32)))
         # count REAL folds only: padded dummy folds (k_pad > n_folds) compute
         # but must not inflate the logged steps/s
         total_steps += int(bv[:n_folds].max(axis=2).sum())
+        if streaming:
+            return _run_streaming_epoch(fn, st, keys, lr_vec, idx, bv)
+        st, losses = fn(st, data, put_idx(idx), put_idx(bv),
+                        put(np.asarray(keys)),
+                        put(np.asarray(lr_vec, np.float32)))
         return st, losses
+
+    def _run_streaming_epoch(fn, st, keys, lr_vec, idx, bv):
+        """Per-step dispatch of stacked (K, B, ...) host-gathered batches,
+        double-buffered onto the device. Same key chain + whole-step masking
+        as the scan epoch (=> identical trajectories)."""
+        from ..data.pipeline import BatchPrefetcher
+
+        steps = idx.shape[1]
+        step_valid = (bv.max(axis=2) > 0)  # (K, steps)
+
+        def host_batches():
+            for s in range(steps):
+                b = {k: v[idx[:, s]] for k, v in host_data.items()}
+                b["valid"] = bv[:, s]
+                b["svalid"] = b["svalid"] * bv[:, s]
+                yield b
+
+        keys_dev = put(np.asarray(keys))
+        lrs_dev = put(np.asarray(lr_vec, np.float32))
+        losses = []
+        for s, batch in enumerate(BatchPrefetcher(
+                host_batches(), depth=2, sharding=stacked_batch_sharding())):
+            st, keys_dev, loss = fn(st, batch, lrs_dev, keys_dev,
+                                    put(step_valid[:, s]))
+            losses.append(loss)
+        # ONE readback fences the epoch (in-order execution); per-fold mean
+        # over VALID steps only
+        stacked = np.asarray(jnp.stack(losses))  # (steps, K)
+        n_valid = np.maximum(step_valid.sum(axis=1), 1)
+        return st, jnp.asarray(stacked.sum(axis=0) / n_valid)
+
+    def run_stacked_eval(st):
+        """(K,) pooled C-index + (K,) mean val loss, either mode."""
+        if not streaming:
+            return eval_fn(st.params, st.batch_stats, data, eidx, ebv)
+        from ..data.pipeline import BatchPrefetcher
+        from ..ops.cindex import concordance_index
+
+        steps = eidx_h.shape[1]
+
+        def host_batches():
+            for s in range(steps):
+                b = {k: v[eidx_h[:, s]] for k, v in host_data.items()}
+                b["valid"] = ebv_h[:, s]
+                b["svalid"] = b["svalid"] * ebv_h[:, s]
+                yield b
+
+        hazards, losses = [], []
+        for batch in BatchPrefetcher(host_batches(), depth=2,
+                                     sharding=stacked_batch_sharding()):
+            h, loss = eval_step_fn(st.params, st.batch_stats, batch)
+            hazards.append(h)
+            losses.append(loss)
+        from ..parallel.multihost import read_back
+
+        h = np.stack([read_back(x) for x in hazards])  # (steps, K, B)
+        step_valid = (ebv_h.max(axis=2) > 0)  # (K, steps)
+        losses = np.asarray(jnp.stack(losses))  # (steps, K)
+        vloss = losses.T.sum(axis=1) / np.maximum(step_valid.sum(axis=1), 1)
+
+        if not hasattr(run_stacked_eval, "_cindex"):
+            run_stacked_eval._cindex = jax.jit(concordance_index)
+        cidx = np.zeros(k_pad)
+        for k in range(k_pad):
+            hk = h[:, k, :].reshape(-1).astype(np.float32)
+            flat = eidx_h[k].reshape(-1)
+            bvk = ebv_h[k].reshape(-1)
+            t = host_data["time"][flat].astype(np.float32)
+            e = host_data["event"][flat].astype(np.float32)
+            sv = (host_data["svalid"][flat] * bvk).astype(np.float32)
+            bucket = max(512, -(-hk.size // 512) * 512)
+            pad = bucket - hk.size
+            if pad:
+                z = np.zeros(pad, np.float32)
+                hk, t, e, sv = (np.concatenate([a, z])
+                                for a in (hk, t, e, sv))
+            cidx[k] = float(run_stacked_eval._cindex(hk, t, e, sv))
+        return jnp.asarray(cidx), jnp.asarray(vloss)
 
     # ---- stage 1 (SimMLM expert pretraining): fixed LR, no selection ----
     if cfg.stage1_epochs:
@@ -357,8 +518,10 @@ def run_cross_validation_parallel(
         s1_trainer = Trainer(model, batch_to_inputs,
                              simmlm_stage1_adapter(), tcfg)
         s1_trainer._extra_collections = trainer._extra_collections
-        s1_fn = maybe_aot(_build_parallel_train_epoch(s1_trainer),
-                          "par_stage1_epoch")
+        s1_fn = (maybe_aot(_build_parallel_train_step(s1_trainer),
+                           "par_stage1_step") if streaming else
+                 maybe_aot(_build_parallel_train_epoch(s1_trainer),
+                           "par_stage1_epoch"))
         for epoch in range(1, cfg.stage1_epochs + 1):
             split = jax.vmap(jax.random.split)(dropout_keys)
             dropout_keys, eks = split[:, 0], split[:, 1]
@@ -395,8 +558,7 @@ def run_cross_validation_parallel(
         split = jax.vmap(jax.random.split)(dropout_keys)
         dropout_keys, eks = split[:, 0], split[:, 1]
         state, tr_losses = run_stacked_epoch(train_fn, state, eks, lrs)
-        cidx, vloss = eval_fn(state.params, state.batch_stats, data,
-                              eidx, ebv)
+        cidx, vloss = run_stacked_eval(state)
         # ONE readback fences the epoch's dispatches (in-order execution)
         tr_losses, cidx, vloss = (np.asarray(tr_losses), np.asarray(cidx),
                                   np.asarray(vloss))

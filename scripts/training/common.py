@@ -211,12 +211,13 @@ def run_training(args, cfg):
 
     if args.fold_parallel:
         if args.mesh or args.tp > 1 or args.resume or args.profile_dir \
-                or args.streaming or args.sharded_risk_set:
+                or args.sharded_risk_set:
             raise SystemExit(
                 "--fold-parallel is mutually exclusive with --mesh/--tp/"
-                "--resume/--profile-dir/--streaming/--sharded-risk-set "
-                "(use the sequential driver for those; fold-parallel "
-                "implies a device-resident cohort)")
+                "--resume/--profile-dir/--sharded-risk-set "
+                "(use the sequential driver for those). --streaming DOES "
+                "compose: host-resident cohort, stacked per-step batches "
+                "(train/cv_parallel.py module docstring)")
         from multimodal_survival_prediction_tpu.train.cv_parallel import (
             make_fold_mesh,
             run_cross_validation_parallel,
@@ -232,6 +233,7 @@ def run_training(args, cfg):
             use_pallas_resample=args.pallas_resample,
             hu_window=parse_hu_window(args.hu_window),
             aot_cache_dir=args.aot_cache,
+            streaming=args.streaming,
         )
         print(f"\n{cfg.display_name} (fold-parallel): C-index "
               f"{payload['c_index_mean']:.4f} ± {payload['c_index_std']:.4f}")
