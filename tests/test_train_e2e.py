@@ -327,6 +327,58 @@ def test_densenet_flagship_under_dp_mesh():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_full_densenet121_flagship_under_dp_mesh():
+    """The FULL (6,12,24,16) DenseNet121 flagship encoder under the 8-device
+    DP mesh (VERDICT r3 #4 stretch): one complete train step — fwd + Cox +
+    gate-entropy + bwd + Adam — compiles and executes with the batch sharded,
+    loss finite. The (2,2) variant above additionally pins BN-moment equality
+    vs single-device; this test's job is the full 121-layer program under
+    GSPMD (the deepest compile in the suite, hence one mesh run only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_survival_prediction_tpu.models import PartialModalityNet
+    from multimodal_survival_prediction_tpu.ops.cox import gate_entropy_loss
+    from multimodal_survival_prediction_tpu.parallel import make_mesh
+    from multimodal_survival_prediction_tpu.train.engine import (
+        TrainConfig,
+        Trainer,
+    )
+
+    rng = np.random.default_rng(23)
+    n, rna_dim = 8, 64
+    data_np = {
+        "image": rng.normal(size=(n, 32, 32, 32, 1)).astype(np.float32),
+        "rnaseq": rng.normal(size=(n, rna_dim)).astype(np.float32),
+        "clinical": rng.uniform(0.3, 0.9, size=(n, 1)).astype(np.float32),
+        "mask": (rng.uniform(size=(n, 3)) < 0.8).astype(np.float32),
+        "time": rng.exponential(800.0, size=(n,)).astype(np.float32),
+        "event": (rng.uniform(size=(n,)) < 0.6).astype(np.float32),
+        "svalid": np.ones((n,), np.float32),
+    }
+    data_np["event"][:2] = 1.0
+    model = PartialModalityNet(backbone="densenet121")  # full block config
+
+    def adapter(out, batch):
+        hazard, gates = out
+        return hazard, 0.01 * gate_entropy_loss(gates, valid=batch["valid"])
+
+    tr = Trainer(model,
+                 lambda b: (b["image"], b["rnaseq"], b["clinical"],
+                            b["mask"]),
+                 adapter, TrainConfig(batch_size=8), mesh=make_mesh(8))
+    example = dict(data_np)
+    example["valid"] = example["svalid"]
+    state = tr.init_state(example, fold=1)
+    dev = {k: jnp.asarray(v) for k, v in data_np.items()}
+    state, loss = tr.train_epoch(state, dev, np.arange(n),
+                                 np.random.default_rng(7), 1e-4,
+                                 jax.random.PRNGKey(3))
+    assert np.isfinite(loss)
+    assert int(jax.device_get(state.step)) == 1
+
+
 def test_streaming_cv_driver_matches_device_resident(cohort, tmp_path):
     """run_cross_validation(streaming=True) — the --streaming CLI path —
     keeps the cohort host-resident and must reproduce the device-resident
