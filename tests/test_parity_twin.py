@@ -75,3 +75,83 @@ def test_twin_cv_parity_compact(tmp_path):
     # the committed PARITY_TWIN.md artifact carries the tight-band evidence
     assert abs(j_mean - t_mean) < 0.15, (t_mean, j_mean)
     assert 0.35 < t_mean <= 1.0 and 0.35 < j_mean <= 1.0
+
+
+def test_init_hook_substitutes_fold_inits(tmp_path):
+    """run_cross_validation(init_hook=...) (round-4 init-matched parity
+    plumbing): the hook sees every fold in order and its returned state IS
+    the fold's initial state — zeroing the params must change the trajectory
+    vs the natural init, and returning None must keep it."""
+    import dataclasses
+
+    import jax
+
+    cohort_root = tmp_path / "cohort"
+    generate_synthetic_cohort(
+        cohort_root, SyntheticCohortSpec(n_patients=40, p_rnaseq=0.9,
+                                         rna_dim=64))
+    table = load_matching_table(
+        cohort_root / "data" / "processed" / "full_matching_table.csv")
+    rnaseq_csv = (cohort_root / "data" / "processed"
+                  / "rnaseq_normalized_mapped.csv")
+    cfg = dataclasses.replace(RNASEQ_ONLY, n_folds=2)
+
+    seen = []
+
+    def zero_hook(fold, state):
+        seen.append(fold)
+        return dataclasses.replace(
+            state, params=jax.tree_util.tree_map(
+                lambda x: x * 0.0, state.params))
+
+    _, o_zero = run_cross_validation(
+        cfg, table, rnaseq_csv=rnaseq_csv, num_epochs=1,
+        write_outputs=False, init_hook=zero_hook)
+    assert seen == [1, 2]
+
+    noop_calls = []
+    _, o_noop = run_cross_validation(
+        cfg, table, rnaseq_csv=rnaseq_csv, num_epochs=1,
+        write_outputs=False,
+        init_hook=lambda fold, state: noop_calls.append(fold))
+    assert noop_calls == [1, 2]
+    _, o_nat = run_cross_validation(
+        cfg, table, rnaseq_csv=rnaseq_csv, num_epochs=1, write_outputs=False)
+    # None-returning hook == natural init; zeroed init differs
+    for a, b in zip(o_noop, o_nat):
+        assert a.history[0]["train_loss"] == b.history[0]["train_loss"]
+    assert any(a.history[0]["train_loss"] != b.history[0]["train_loss"]
+               for a, b in zip(o_zero, o_nat))
+
+
+def test_trim_for_exact_batches():
+    """The --no-ragged-tail cohort trim (run_parity_flagship_initmatched):
+    every fold's train size — labeled*(k-1)/k + unlabeled — becomes an exact
+    multiple of the batch size, dropping trailing unlabeled (and at most one
+    labeled) patients."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "rpfi", Path(__file__).resolve().parents[1] / "scripts" / "analysis"
+        / "run_parity_flagship_initmatched.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["rpfi"] = mod
+    spec.loader.exec_module(mod)
+
+    table = pd.DataFrame({
+        "patient_id": [f"P{i:03d}" for i in range(100)],
+        "has_survival": [i < 67 for i in range(100)],  # 67 labeled, 33 not
+    })
+    trimmed, dropped = mod.trim_for_exact_batches(table, n_folds=2,
+                                                  batch_size=8)
+    labeled = int(trimmed.has_survival.sum())
+    unlabeled = len(trimmed) - labeled
+    assert labeled % 2 == 0
+    train_size = labeled // 2 + unlabeled
+    assert train_size % 8 == 0
+    assert len(dropped) == 100 - len(trimmed)
+    assert set(dropped).isdisjoint(set(trimmed.patient_id))
