@@ -435,6 +435,119 @@ def run_torch_simmlm_cv(
     return results
 
 
+def run_torch_hazard_cv(
+    arrays: dict,
+    build_model,
+    batch_inputs,
+    n_folds: int = 3,
+    num_epochs: int = 20,
+    batch_size: int = 8,
+    learning_rate: float = 1e-4,
+    weight_decay: float = 1e-3,
+    optimizer: str = "adamw",
+    scheduler: str = "cosine",
+    patience: int | None = None,
+    grad_clip: float | None = 1.0,
+    seed: int = 42,
+    split_seed: int | None = None,
+):
+    """Generic torch twin for the hazard-only multimodal families
+    (simple_fusion / flexible_multimodal / final): reference loop semantics
+    — AdamW+cosine (simple_fusion.py:391, flexible_multimodal.py) or
+    Adam(L2)+ReduceLROnPlateau (final_multimodal.py:350-351), optional
+    grad clip / early stop, degenerate-batch skip, pooled per-epoch Harrell
+    C-index, best-epoch selection.
+
+    `build_model(rna_dim)` -> nn.Module returning a (B,) hazard;
+    `batch_inputs(tensors, b)` -> tuple of model inputs for row-index
+    tensor `b`, where `tensors` has image (B,1,D,H,W), rnaseq, clinical,
+    mask."""
+    import torch
+    from sklearn.model_selection import KFold
+
+    split_seed = seed if split_seed is None else split_seed
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+
+    tensors = {
+        "image": torch.asarray(
+            np.moveaxis(np.asarray(arrays["image"], np.float32), -1, 1)),
+        "rnaseq": torch.asarray(np.asarray(arrays["rnaseq"], np.float32)),
+        "clinical": torch.asarray(
+            np.asarray(arrays["clinical"], np.float32)),
+        "mask": torch.asarray(np.asarray(arrays["mask"], np.float32)),
+    }
+    time_t = torch.asarray(np.asarray(arrays["time"], np.float32))
+    event_t = torch.asarray(np.asarray(arrays["event"], np.float32))
+    svalid_t = torch.asarray(np.asarray(arrays["svalid"], np.float32))
+    time_np = np.asarray(arrays["time"], np.float64)
+    event_np = np.asarray(arrays["event"])
+    rna_dim = tensors["rnaseq"].shape[1]
+
+    kfold = KFold(n_splits=n_folds, shuffle=True, random_state=split_seed)
+    results = []
+    for fold, (tr, va) in enumerate(kfold.split(np.arange(len(time_np))),
+                                    start=1):
+        model = build_model(rna_dim)
+        if optimizer == "adamw":
+            opt = torch.optim.AdamW(model.parameters(), lr=learning_rate,
+                                    weight_decay=weight_decay)
+        else:
+            opt = torch.optim.Adam(model.parameters(), lr=learning_rate,
+                                   weight_decay=weight_decay)
+        if scheduler == "cosine":
+            sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+                opt, T_max=num_epochs)
+        else:
+            sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+                opt, mode="max", factor=0.5, patience=5)
+        tr_idx = torch.asarray(tr)
+        best_c, best_epoch, bad, history = -np.inf, 0, 0, []
+        for epoch in range(1, num_epochs + 1):
+            model.train()
+            perm = tr_idx[torch.randperm(len(tr_idx))]
+            ep_losses = []
+            for s in range(0, len(perm), batch_size):
+                b = perm[s:s + batch_size]
+                if len(b) < 2:
+                    continue  # BatchNorm needs >= 2 rows
+                opt.zero_grad()
+                h = model(*batch_inputs(tensors, b))
+                loss = _cox_loss_masked_torch(h, time_t[b], event_t[b],
+                                              svalid_t[b])
+                if not loss.requires_grad:
+                    continue
+                loss.backward()
+                if grad_clip is not None:
+                    torch.nn.utils.clip_grad_norm_(model.parameters(),
+                                                   grad_clip)
+                opt.step()
+                ep_losses.append(float(loss.detach()))
+
+            model.eval()
+            with torch.no_grad():
+                va_t = torch.asarray(va)
+                hv = model(*batch_inputs(tensors, va_t)).numpy()
+            val_c = harrell_cindex_np(hv, time_np[va], event_np[va])
+            if scheduler == "cosine":
+                sched.step()
+            else:
+                sched.step(val_c)
+            history.append(dict(epoch=epoch,
+                                train_loss=float(np.mean(ep_losses or [0])),
+                                val_c_index=val_c))
+            if val_c > best_c:
+                best_c, best_epoch, bad = val_c, epoch, 0
+            else:
+                bad += 1
+            if patience is not None and bad >= patience:
+                break
+        results.append(dict(fold=fold, best_c_index=float(best_c),
+                            best_epoch=best_epoch, train_size=len(tr),
+                            val_size=len(va), history=history))
+    return results
+
+
 def run_torch_rnaseq_cv(
     X: np.ndarray,
     time_arr: np.ndarray,

@@ -39,13 +39,16 @@ sys.path.insert(0, str(REPO_ROOT))
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", choices=["image_only", "simmim"], required=True)
+    p.add_argument("--model",
+                   choices=["image_only", "simmim", "simple_fusion",
+                            "flexible_multimodal", "final"], required=True)
     p.add_argument("--n-patients", type=int, default=96)
     p.add_argument("--epochs", type=int, default=None,
-                   help="stage-2/main epochs (default: image_only 30, "
-                        "simmim 12 — the reference counts are 50/30+50; "
-                        "scaled down to keep the torch-CPU oracle feasible, "
-                        "the SCHEDULE semantics are what is under test)")
+                   help="stage-2/main epochs (defaults: image_only 30, "
+                        "simmim 12, simple_fusion/flexible 15, final 15 — "
+                        "the reference counts are 50 (or 30+50); scaled "
+                        "down to keep the torch-CPU oracle feasible, the "
+                        "SCHEDULE semantics are what is under test)")
     p.add_argument("--stage1-epochs", type=int, default=10,
                    help="simmim stage-1 epochs (reference count 30)")
     p.add_argument("--n-folds", type=int, default=3)
@@ -60,7 +63,13 @@ def main():
 
     import numpy as np
 
+    from benchmarks.torch_reference_named import (
+        build_reference_named_final,
+        build_reference_named_flexible,
+        build_reference_named_simple_fusion,
+    )
     from benchmarks.torch_twin import (
+        run_torch_hazard_cv,
         run_torch_image_only_cv,
         run_torch_simmlm_cv,
     )
@@ -78,7 +87,9 @@ def main():
     )
 
     image_shape = tuple(int(x) for x in args.image_shape.split(","))
-    epochs = args.epochs or {"image_only": 30, "simmim": 12}[args.model]
+    epochs = args.epochs or {"image_only": 30, "simmim": 12,
+                             "simple_fusion": 15, "flexible_multimodal": 15,
+                             "final": 15}[args.model]
 
     if args.data_root:
         root = Path(args.data_root)
@@ -116,13 +127,34 @@ def main():
                 batch_size=cfg.batch_size, learning_rate=cfg.learning_rate,
                 weight_decay=cfg.weight_decay, patience=cfg.patience,
                 grad_clip=cfg.grad_clip, seed=seed, split_seed=cfg.seed)
-        else:
+        elif args.model == "simmim":
             torch_runs[seed] = run_torch_simmlm_cv(
                 arrays.arrays, n_folds=cfg.n_folds,
                 stage1_epochs=cfg.stage1_epochs, num_epochs=epochs,
                 batch_size=cfg.batch_size, learning_rate=cfg.learning_rate,
                 weight_decay=cfg.weight_decay,
                 mofe_lambda=cfg.mofe_lambda, patience=cfg.patience,
+                grad_clip=cfg.grad_clip, seed=seed, split_seed=cfg.seed)
+        else:
+            build, inputs = {
+                "simple_fusion": (
+                    lambda rd: build_reference_named_simple_fusion(rd),
+                    lambda t, b: (t["image"][b], t["rnaseq"][b])),
+                "flexible_multimodal": (
+                    lambda rd: build_reference_named_flexible(rd),
+                    lambda t, b: (t["image"][b], t["rnaseq"][b],
+                                  t["mask"][b][:, :2])),
+                "final": (
+                    lambda rd: build_reference_named_final(rd),
+                    lambda t, b: (t["image"][b], t["rnaseq"][b],
+                                  t["clinical"][b])),
+            }[args.model]
+            torch_runs[seed] = run_torch_hazard_cv(
+                arrays.arrays, build, inputs, n_folds=cfg.n_folds,
+                num_epochs=epochs, batch_size=cfg.batch_size,
+                learning_rate=cfg.learning_rate,
+                weight_decay=cfg.weight_decay, optimizer=cfg.optimizer,
+                scheduler=cfg.scheduler, patience=cfg.patience,
                 grad_clip=cfg.grad_clip, seed=seed, split_seed=cfg.seed)
         print(f"[dynamics:{args.model}] torch CV (init seed {seed}) done "
               f"at +{time.monotonic() - t0:.1f}s")
@@ -181,8 +213,13 @@ def main():
     (out_dir / f"parity_dynamics_{args.model}.json").write_text(
         json.dumps(payload, indent=2))
 
-    title = {"image_only": "image_only dynamics twin",
-             "simmim": "SimMLM two-stage dynamics twin"}[args.model]
+    title = {
+        "image_only": "image_only dynamics twin",
+        "simmim": "SimMLM two-stage dynamics twin",
+        "simple_fusion": "simple_fusion dynamics twin",
+        "flexible_multimodal": "flexible_multimodal dynamics twin",
+        "final": "final (complete multimodal) dynamics twin",
+    }[args.model]
     what = {
         "image_only":
             "torch side: `benchmarks/torch_twin.py:run_torch_image_only_cv` "
@@ -200,6 +237,22 @@ def main():
             "both stages, plateau + patience in stage 2) implemented "
             "independently in torch against the reference-named "
             "SimMLM_SurvivalNet (generate_km_curves.py:160-281).",
+        "simple_fusion":
+            "torch side: `benchmarks/torch_twin.py:run_torch_hazard_cv` "
+            "with the reference-named SimpleFusionModel "
+            "(simple_fusion.py:160-236 loop semantics: AdamW wd=1e-3, "
+            "cosine LR, clip 1.0, no early stop).",
+        "flexible_multimodal":
+            "torch side: `benchmarks/torch_twin.py:run_torch_hazard_cv` "
+            "with the reference-named FlexibleMultimodalModel "
+            "(flexible_multimodal.py:157-256: learnable missing-modality "
+            "biases; AdamW wd=1e-3, cosine LR, clip 1.0, no early stop).",
+        "final":
+            "torch side: `benchmarks/torch_twin.py:run_torch_hazard_cv` "
+            "with the reference-named MultiModalSurvivalNet "
+            "(final_multimodal.py:59-150, :350-351 loop semantics: "
+            "Adam L2 wd=1e-4, ReduceLROnPlateau on val C, clip 1.0, "
+            "patience-15).",
     }[args.model]
     lines = [
         f"## {title} (appended)",
