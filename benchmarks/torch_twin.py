@@ -435,6 +435,128 @@ def run_torch_simmlm_cv(
     return results
 
 
+def build_torch_mmsurv_twin(rna_dim: int, token_dim: int = 128,
+                            cbp_dim: int = 256, num_layers: int = 2,
+                            dropout: float = 0.5, use_monai: bool = True):
+    """Independent torch implementation of THIS REPO's from-scratch MMsurv
+    design (models/mmsurv.py — the reference ships NO code for this family,
+    only results metadata): modality encoders -> Compact Bilinear Pooling
+    (count-sketch + FFT, SAME fixed seed-1/2 sketch constants as the flax
+    module) -> pos-embedded [img, rna, clin, cbp] token sequence ->
+    masked pre-norm transformer encoder -> masked mean-pool -> Cox head.
+    Init distributions differ from flax where torch defaults differ — a
+    dynamics twin compares training behavior, not bit-exact forwards."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from multimodal_survival_prediction_tpu.models.mmsurv import (
+        _count_sketch_matrix,
+    )
+
+    class CBP(nn.Module):
+        def __init__(self, dx, dy, dim_out):
+            super().__init__()
+            self.dim_out = dim_out
+            self.register_buffer(
+                "mx", torch.asarray(_count_sketch_matrix(dx, dim_out, 1)))
+            self.register_buffer(
+                "my", torch.asarray(_count_sketch_matrix(dy, dim_out, 2)))
+
+        def forward(self, x, y):
+            fx = torch.fft.rfft(x @ self.mx, dim=-1)
+            fy = torch.fft.rfft(y @ self.my, dim=-1)
+            out = torch.fft.irfft(fx * fy, n=self.dim_out, dim=-1)
+            out = torch.sign(out) * torch.sqrt(torch.abs(out) + 1e-8)
+            return out / (out.norm(dim=-1, keepdim=True) + 1e-8)
+
+    class MHA(nn.Module):
+        def __init__(self, dim, heads, dropout):
+            super().__init__()
+            self.h, self.d = heads, dim // heads
+            self.q, self.k, self.v, self.o = (nn.Linear(dim, dim)
+                                              for _ in range(4))
+            self.drop = nn.Dropout(dropout)
+
+        def forward(self, x, pad_mask):  # pad_mask (B, T) 1=real
+            B, T, D = x.shape
+            split = lambda t: t.view(B, T, self.h, self.d).transpose(1, 2)
+            q, k, v = split(self.q(x)), split(self.k(x)), split(self.v(x))
+            logits = q @ k.transpose(-1, -2) / self.d ** 0.5
+            logits = logits.masked_fill(
+                ~(pad_mask[:, None, None, :] > 0), -1e9)
+            w = self.drop(torch.softmax(logits, -1))
+            return self.o((w @ v).transpose(1, 2).reshape(B, T, D))
+
+    class Block(nn.Module):
+        def __init__(self, dim, heads=4, dropout=0.5):
+            super().__init__()
+            self.ln1 = nn.LayerNorm(dim)
+            self.attn = MHA(dim, heads, dropout)
+            self.ln2 = nn.LayerNorm(dim)
+            self.ff0 = nn.Linear(dim, dim * 2)
+            self.drop = nn.Dropout(dropout)
+            self.ff1 = nn.Linear(dim * 2, dim)
+
+        def forward(self, tokens, pad_mask):
+            tokens = tokens + self.attn(self.ln1(tokens), pad_mask)
+            y = self.ff1(self.drop(F.relu(self.ff0(self.ln2(tokens)))))
+            return tokens + y
+
+    class MMsurvTwin(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.image_encoder = (_monai_torch_densenet(token_dim)
+                                  if use_monai else _torch_fallback_cnn(
+                                      token_dim))
+            self.rna_encoder = nn.Sequential(
+                nn.Linear(rna_dim, 512), nn.BatchNorm1d(512), nn.ReLU(),
+                nn.Dropout(0.3), nn.Linear(512, token_dim), nn.ReLU())
+            self.clinical_encoder = nn.Sequential(
+                nn.Linear(1, token_dim), nn.ReLU())
+            self.cbp = CBP(token_dim, token_dim, cbp_dim)
+            self.cbp_proj = nn.Linear(cbp_dim, token_dim)
+            self.pos_embed = nn.Parameter(
+                0.02 * torch.randn(1, 4, token_dim))
+            self.layers = nn.ModuleList(
+                [Block(token_dim, dropout=dropout)
+                 for _ in range(num_layers)])
+            self.drop = nn.Dropout(dropout)
+            self.cox_head = nn.Linear(token_dim, 1)
+
+        def forward(self, image, rnaseq, clinical, mask):
+            img = self.image_encoder(image)
+            if img.dim() > 2:
+                img = img.flatten(1)
+            rna = self.rna_encoder(rnaseq)
+            clin = self.clinical_encoder(clinical)
+            cbp_tok = self.cbp_proj(self.cbp(img, rna))
+            tokens = torch.stack([img, rna, clin, cbp_tok], 1)
+            tokens = tokens + self.pos_embed
+            cbp_valid = mask[:, 0:1] * mask[:, 1:2]
+            pad_mask = torch.cat([mask, cbp_valid], -1)  # (B, 4)
+            tokens = tokens * pad_mask[..., None]
+            for layer in self.layers:
+                tokens = layer(tokens, pad_mask)
+            denom = pad_mask.sum(-1, keepdim=True).clamp(min=1.0)
+            pooled = (tokens * pad_mask[..., None]).sum(1) / denom
+            return self.cox_head(self.drop(pooled)).squeeze(1)
+
+    return MMsurvTwin()
+
+
+def _monai_torch_densenet(out_ch):
+    from .torch_reference_named import _monai_densenet121_3d
+
+    return _monai_densenet121_3d(out_ch)
+
+
+def _torch_fallback_cnn(out_ch):
+    from .torch_reference_named import _fallback_cnn
+
+    return _fallback_cnn(out_ch)
+
+
 def run_torch_hazard_cv(
     arrays: dict,
     build_model,

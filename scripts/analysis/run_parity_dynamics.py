@@ -41,7 +41,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model",
                    choices=["image_only", "simmim", "simple_fusion",
-                            "flexible_multimodal", "final"], required=True)
+                            "flexible_multimodal", "final", "mmsurv"],
+                   required=True)
     p.add_argument("--n-patients", type=int, default=96)
     p.add_argument("--epochs", type=int, default=None,
                    help="stage-2/main epochs (defaults: image_only 30, "
@@ -69,6 +70,7 @@ def main():
         build_reference_named_simple_fusion,
     )
     from benchmarks.torch_twin import (
+        build_torch_mmsurv_twin,
         run_torch_hazard_cv,
         run_torch_image_only_cv,
         run_torch_simmlm_cv,
@@ -89,7 +91,7 @@ def main():
     image_shape = tuple(int(x) for x in args.image_shape.split(","))
     epochs = args.epochs or {"image_only": 30, "simmim": 12,
                              "simple_fusion": 15, "flexible_multimodal": 15,
-                             "final": 15}[args.model]
+                             "final": 15, "mmsurv": 15}[args.model]
 
     if args.data_root:
         root = Path(args.data_root)
@@ -148,6 +150,10 @@ def main():
                     lambda rd: build_reference_named_final(rd),
                     lambda t, b: (t["image"][b], t["rnaseq"][b],
                                   t["clinical"][b])),
+                "mmsurv": (
+                    lambda rd: build_torch_mmsurv_twin(rd),
+                    lambda t, b: (t["image"][b], t["rnaseq"][b],
+                                  t["clinical"][b], t["mask"][b])),
             }[args.model]
             torch_runs[seed] = run_torch_hazard_cv(
                 arrays.arrays, build, inputs, n_folds=cfg.n_folds,
@@ -219,6 +225,7 @@ def main():
         "simple_fusion": "simple_fusion dynamics twin",
         "flexible_multimodal": "flexible_multimodal dynamics twin",
         "final": "final (complete multimodal) dynamics twin",
+        "mmsurv": "MMsurv dynamics twin (vs this repo's own spec)",
     }[args.model]
     what = {
         "image_only":
@@ -253,6 +260,14 @@ def main():
             "(final_multimodal.py:59-150, :350-351 loop semantics: "
             "Adam L2 wd=1e-4, ReduceLROnPlateau on val C, clip 1.0, "
             "patience-15).",
+        "mmsurv":
+            "torch side: `benchmarks/torch_twin.py:build_torch_mmsurv_twin` "
+            "— an INDEPENDENT torch implementation of THIS repo's "
+            "from-scratch MMsurv design (models/mmsurv.py; the reference "
+            "ships no code for this family, only "
+            "results/mmsurv/cv_results.json hyperparameters): same "
+            "count-sketch constants, CBP FFT, masked pre-norm transformer, "
+            "masked mean-pool; Adam L2, plateau, clip 1.0, patience-15.",
     }[args.model]
     lines = [
         f"## {title} (appended)",
