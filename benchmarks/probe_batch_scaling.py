@@ -37,7 +37,7 @@ K = 64  # steps per dispatch
 
 
 def probe(batch, timed_dispatches=3, discard=1, remat=False,
-          trunk="concat"):
+          trunk="concat", fused_bn1=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -47,7 +47,8 @@ def probe(batch, timed_dispatches=3, discard=1, remat=False,
     from bench import IMAGE_SHAPE, RNA_DIM, make_flagship_step
     from multimodal_survival_prediction_tpu.models import PartialModalityNet
 
-    model = PartialModalityNet(dtype=jnp.bfloat16, remat=remat, trunk=trunk)
+    model = PartialModalityNet(dtype=jnp.bfloat16, remat=remat, trunk=trunk,
+                               fused_bn1=fused_bn1)
     b_np = _example_batch(batch, IMAGE_SHAPE, RNA_DIM)
     data_b = jax.device_put(b_np)
     rng = jax.random.PRNGKey(0)
@@ -114,6 +115,7 @@ def probe(batch, timed_dispatches=3, discard=1, remat=False,
         "batch": batch,
         "remat": remat,
         "trunk": trunk,
+        "fused_bn1": fused_bn1,
         "steps_per_sec": round(steps_per_sec, 2),
         "patients_per_sec": round(steps_per_sec * batch, 1),
         "ms_per_step": round(1000.0 / steps_per_sec, 2),
@@ -144,10 +146,15 @@ def main():
                    help="DenseNet concat-trunk strategy (round-4 HBM lever: "
                         "'dus' preallocates one full-width trunk per block, "
                         "models/densenet3d.py)")
+    p.add_argument("--fused-bn1", action="store_true",
+                   help="fuse every dense layer's norm1->relu->conv1 into "
+                        "the two-pass Pallas op with custom VJP "
+                        "(ops/fused_dense.py; round-4 HBM lever)")
     args = p.parse_args()
     for b in (int(x) for x in args.batches.split(",")):
         print(json.dumps(probe(b, timed_dispatches=args.timed_dispatches,
-                               remat=args.remat, trunk=args.trunk)),
+                               remat=args.remat, trunk=args.trunk,
+                               fused_bn1=args.fused_bn1)),
               flush=True)
 
 

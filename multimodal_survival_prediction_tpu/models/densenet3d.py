@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.fused_dense import bn_relu_conv1x1_reference, fused_bn_relu_conv1x1
 from .layers import BatchNorm, torch_uniform_init
 
 
@@ -59,6 +60,62 @@ class _Conv(nn.Module):
         )(x)
 
 
+class _BNVars(nn.Module):
+    """Declares flax ``nn.BatchNorm``'s exact variables (names, shapes,
+    float32 dtypes, init values — flax/linen/normalization.py) WITHOUT
+    computing anything: the fused Pallas path (ops/fused_dense.py) reads
+    them directly. Variable paths and RNG derivation are identical to the
+    unfused modules', so checkpoints and seeds are interchangeable."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.features
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), [c])
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), [c])
+        scale = self.param("scale", nn.initializers.ones, [c], jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, [c], jnp.float32)
+        return scale, bias, ra_mean, ra_var
+
+
+class _Norm1Vars(nn.Module):
+    """Path twin of ``BatchNorm`` (which nests nn.BatchNorm as "bn")."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _BNVars(self.features, name="bn")()
+
+
+class _ConvKernelVars(nn.Module):
+    """Path twin of a bias-free 1x1x1 ``nn.Conv``'s kernel param."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", kaiming_normal_init,
+            (1, 1, 1, self.in_features, self.features), jnp.float32)
+
+
+class _Conv1Vars(nn.Module):
+    """Path twin of ``_Conv`` (which nests nn.Conv as "conv")."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvKernelVars(self.features, self.in_features,
+                               name="conv")()
+
+
 class DenseLayer(nn.Module):
     growth_rate: int
     bn_size: int
@@ -69,14 +126,21 @@ class DenseLayer(nn.Module):
     # path below owns the trunk buffer and writes them in place); the param
     # tree is IDENTICAL either way, so checkpoints are interchangeable.
     concat: bool = True
+    # Fuse norm1->relu->conv1 into the two-pass Pallas op (train mode only;
+    # ops/fused_dense.py — round-4 HBM lever). The variable tree is bit-
+    # identical to the standard path, so checkpoints/seeds interchange.
+    fused_bn1: bool = False
 
     @nn.compact
     def __call__(self, x):
-        y = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
-                      name="norm1")(x)
-        y = nn.relu(y)
-        y = _Conv(self.bn_size * self.growth_rate, 1, dtype=self.dtype,
-                  name="conv1")(y)
+        if self.fused_bn1 and self.train:
+            y = self._fused_stage1(x)
+        else:
+            y = BatchNorm(use_running_average=not self.train,
+                          dtype=self.dtype, name="norm1")(x)
+            y = nn.relu(y)
+            y = _Conv(self.bn_size * self.growth_rate, 1, dtype=self.dtype,
+                      name="conv1")(y)
         y = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
                       name="norm2")(y)
         y = nn.relu(y)
@@ -86,6 +150,27 @@ class DenseLayer(nn.Module):
         if not self.concat:
             return y
         return jnp.concatenate([x, y], axis=-1)
+
+    def _fused_stage1(self, x):
+        """norm1 -> relu -> conv1 via ops.fused_dense (two HBM passes over
+        the trunk, custom VJP). Train-mode only; the caller guarantees it.
+        flax init traces the plain-XLA oracle instead of Pallas, and — like
+        flax BatchNorm — skips the running-stats update while initializing."""
+        c = x.shape[-1]
+        f = self.bn_size * self.growth_rate
+        scale, bias, ra_mean, ra_var = _Norm1Vars(c, name="norm1")()
+        kernel = _Conv1Vars(f, c, name="conv1")()
+        cdt = self.dtype or jnp.result_type(x, kernel)
+        x2 = x.reshape(-1, c).astype(cdt)
+        w2 = kernel.reshape(c, f).astype(cdt)
+        if self.is_initializing():
+            out2, _, _ = bn_relu_conv1x1_reference(x2, scale, bias, w2)
+        else:
+            out2, mean, var = fused_bn_relu_conv1x1(x2, scale, bias, w2)
+            # flax running-average update (momentum 0.9, biased variance)
+            ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+            ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        return out2.reshape(x.shape[:-1] + (f,))
 
 
 class Transition(nn.Module):
@@ -128,6 +213,11 @@ class DenseNet121_3D(nn.Module):
     # version would hand it); the param tree is identical, so checkpoints
     # are interchangeable across modes (tests/test_models.py pins both).
     trunk: str = "concat"
+    # Fuse every dense layer's norm1->relu->conv1 into the two-pass Pallas
+    # op (ops/fused_dense.py; train mode only, single-shard only — see its
+    # docstring). Opt-in perf experiment, measured via
+    # benchmarks/probe_batch_scaling.py --fused-bn1; variable tree identical.
+    fused_bn1: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -166,6 +256,7 @@ class DenseNet121_3D(nn.Module):
                     y = layer_cls(
                         self.growth_rate, self.bn_size, self.dropout, train,
                         dtype=self.dtype, concat=False,
+                        fused_bn1=self.fused_bn1,
                         name=f"block{bi}_layer{li}",
                     )(xin)
                     trunk = jax.lax.dynamic_update_slice_in_dim(
@@ -176,7 +267,8 @@ class DenseNet121_3D(nn.Module):
                 for li in range(num_layers):
                     x = layer_cls(
                         self.growth_rate, self.bn_size, self.dropout, train,
-                        dtype=self.dtype, name=f"block{bi}_layer{li}",
+                        dtype=self.dtype, fused_bn1=self.fused_bn1,
+                        name=f"block{bi}_layer{li}",
                     )(x)
             channels += num_layers * self.growth_rate
             if bi != len(self.block_config) - 1:

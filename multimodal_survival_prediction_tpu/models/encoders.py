@@ -93,6 +93,7 @@ class ImageEncoder(nn.Module):
     # tests (fewer halvings -> smaller minimum input)
     block_config: tuple | None = None
     trunk: str = "concat"  # concat-trunk strategy (densenet3d.py docstring)
+    fused_bn1: bool = False  # fused Pallas norm1->relu->conv1 (densenet3d.py)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -101,7 +102,8 @@ class ImageEncoder(nn.Module):
                       if self.block_config is not None else {})
             return DenseNet121_3D(
                 out_features=self.out_features, remat=self.remat,
-                dtype=self.dtype, trunk=self.trunk, name="densenet", **kwargs,
+                dtype=self.dtype, trunk=self.trunk,
+                fused_bn1=self.fused_bn1, name="densenet", **kwargs,
             )(x, train=train)
         return SimpleCNN3D(
             out_features=self.out_features, dtype=self.dtype, name="cnn",

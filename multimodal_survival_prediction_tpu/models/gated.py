@@ -24,6 +24,7 @@ class PartialModalityNet(nn.Module):
     # for small inputs (tests, tiny cohorts)
     block_config: tuple | None = None
     trunk: str = "concat"  # DenseNet concat-trunk strategy (densenet3d.py)
+    fused_bn1: bool = False  # fused Pallas norm1->relu->conv1 (densenet3d.py)
 
     @nn.compact
     def __call__(self, ct, rna, clinical, mask, *, train: bool = False):
@@ -33,7 +34,7 @@ class PartialModalityNet(nn.Module):
         ct_feat = ImageEncoder(128, backbone=self.backbone, remat=self.remat,
                                dtype=self.dtype,
                                block_config=self.block_config,
-                               trunk=self.trunk,
+                               trunk=self.trunk, fused_bn1=self.fused_bn1,
                                name="ct_encoder")(ct, train=train)
         rna_feat = RNAEncoderCompact(128, dtype=self.dtype,
                                      name="rna_encoder")(rna, train=train)
