@@ -150,11 +150,17 @@ def main():
                    help="fuse every dense layer's norm1->relu->conv1 into "
                         "the two-pass Pallas op with custom VJP "
                         "(ops/fused_dense.py; round-4 HBM lever)")
+    p.add_argument("--fused-bn1-rows", type=int, default=None,
+                   help="selective variant: fuse only stages whose trunk has"
+                        " <= this many rows (B*D*H*W) — the per-shape "
+                        "crossover probe_fused_dense.py measured")
     args = p.parse_args()
+    fused = (args.fused_bn1_rows if args.fused_bn1_rows is not None
+             else args.fused_bn1)
     for b in (int(x) for x in args.batches.split(",")):
         print(json.dumps(probe(b, timed_dispatches=args.timed_dispatches,
                                remat=args.remat, trunk=args.trunk,
-                               fused_bn1=args.fused_bn1)),
+                               fused_bn1=fused)),
               flush=True)
 
 

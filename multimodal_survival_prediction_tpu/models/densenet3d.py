@@ -177,13 +177,31 @@ class Transition(nn.Module):
     out_channels: int
     train: bool
     dtype: jnp.dtype | None = None
+    # Same fused Pallas stage as DenseLayer.fused_bn1 — a transition IS a
+    # BN->ReLU->1x1-conv over the full-width trunk (the avg-pool stays XLA).
+    fused_bn1: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
-                      name="norm")(x)
-        x = nn.relu(x)
-        x = _Conv(self.out_channels, 1, dtype=self.dtype, name="conv")(x)
+        if self.fused_bn1 and self.train:
+            c = x.shape[-1]
+            scale, bias, ra_mean, ra_var = _Norm1Vars(c, name="norm")()
+            kernel = _Conv1Vars(self.out_channels, c, name="conv")()
+            cdt = self.dtype or jnp.result_type(x, kernel)
+            x2 = x.reshape(-1, c).astype(cdt)
+            w2 = kernel.reshape(c, self.out_channels).astype(cdt)
+            if self.is_initializing():
+                out2, _, _ = bn_relu_conv1x1_reference(x2, scale, bias, w2)
+            else:
+                out2, mean, var = fused_bn_relu_conv1x1(x2, scale, bias, w2)
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+            x = out2.reshape(x.shape[:-1] + (self.out_channels,))
+        else:
+            x = BatchNorm(use_running_average=not self.train,
+                          dtype=self.dtype, name="norm")(x)
+            x = nn.relu(x)
+            x = _Conv(self.out_channels, 1, dtype=self.dtype, name="conv")(x)
         return nn.avg_pool(x, (2, 2, 2), strides=(2, 2, 2))
 
 
@@ -213,11 +231,21 @@ class DenseNet121_3D(nn.Module):
     # version would hand it); the param tree is identical, so checkpoints
     # are interchangeable across modes (tests/test_models.py pins both).
     trunk: str = "concat"
-    # Fuse every dense layer's norm1->relu->conv1 into the two-pass Pallas
-    # op (ops/fused_dense.py; train mode only, single-shard only — see its
-    # docstring). Opt-in perf experiment, measured via
-    # benchmarks/probe_batch_scaling.py --fused-bn1; variable tree identical.
-    fused_bn1: bool = False
+    # Fuse dense layers' norm1->relu->conv1 AND transitions' norm->relu->conv
+    # into the two-pass Pallas op (ops/fused_dense.py; train mode only,
+    # single-shard only — see its docstring). True = fuse everywhere; an int
+    # = fuse only stages whose trunk has <= that many rows (B*D*H*W) — the
+    # round-4 microbench (benchmarks/probe_fused_dense.py) measured the hand
+    # kernel FASTER than XLA's schedule at <=32768 rows but slower at
+    # block0's 262144 (docs/PERF.md). Opt-in perf experiment, measured via
+    # benchmarks/probe_batch_scaling.py --fused-bn1[-rows N]; variable tree
+    # identical either way, checkpoints interchangeable.
+    fused_bn1: bool | int = False
+
+    def _fuse_rows(self, rows: int) -> bool:
+        if isinstance(self.fused_bn1, bool):
+            return self.fused_bn1
+        return rows <= int(self.fused_bn1)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -244,6 +272,7 @@ class DenseNet121_3D(nn.Module):
                      if self.remat else DenseLayer)
         channels = self.init_features
         for bi, num_layers in enumerate(self.block_config):
+            fuse = self._fuse_rows(int(np.prod(x.shape[:-1])))
             if self.trunk == "dus":
                 total = channels + num_layers * self.growth_rate
                 # one full-width trunk per block; the initial pad is the only
@@ -256,7 +285,7 @@ class DenseNet121_3D(nn.Module):
                     y = layer_cls(
                         self.growth_rate, self.bn_size, self.dropout, train,
                         dtype=self.dtype, concat=False,
-                        fused_bn1=self.fused_bn1,
+                        fused_bn1=fuse,
                         name=f"block{bi}_layer{li}",
                     )(xin)
                     trunk = jax.lax.dynamic_update_slice_in_dim(
@@ -267,13 +296,14 @@ class DenseNet121_3D(nn.Module):
                 for li in range(num_layers):
                     x = layer_cls(
                         self.growth_rate, self.bn_size, self.dropout, train,
-                        dtype=self.dtype, fused_bn1=self.fused_bn1,
+                        dtype=self.dtype, fused_bn1=fuse,
                         name=f"block{bi}_layer{li}",
                     )(x)
             channels += num_layers * self.growth_rate
             if bi != len(self.block_config) - 1:
                 channels //= 2
                 x = Transition(channels, train, dtype=self.dtype,
+                               fused_bn1=fuse,
                                name=f"transition{bi}")(x)
 
         x = BatchNorm(use_running_average=not train, dtype=self.dtype,

@@ -93,7 +93,8 @@ class ImageEncoder(nn.Module):
     # tests (fewer halvings -> smaller minimum input)
     block_config: tuple | None = None
     trunk: str = "concat"  # concat-trunk strategy (densenet3d.py docstring)
-    fused_bn1: bool = False  # fused Pallas norm1->relu->conv1 (densenet3d.py)
+    # fused Pallas norm1->relu->conv1; int = max-rows threshold (densenet3d.py)
+    fused_bn1: bool | int = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):

@@ -24,7 +24,8 @@ class PartialModalityNet(nn.Module):
     # for small inputs (tests, tiny cohorts)
     block_config: tuple | None = None
     trunk: str = "concat"  # DenseNet concat-trunk strategy (densenet3d.py)
-    fused_bn1: bool = False  # fused Pallas norm1->relu->conv1 (densenet3d.py)
+    # fused Pallas norm1->relu->conv1; int = max-rows threshold (densenet3d.py)
+    fused_bn1: bool | int = False
 
     @nn.compact
     def __call__(self, ct, rna, clinical, mask, *, train: bool = False):
