@@ -572,6 +572,7 @@ def run_torch_hazard_cv(
     grad_clip: float | None = 1.0,
     seed: int = 42,
     split_seed: int | None = None,
+    init_state_dicts: list | None = None,
 ):
     """Generic torch twin for the hazard-only multimodal families
     (simple_fusion / flexible_multimodal / final): reference loop semantics
@@ -579,6 +580,10 @@ def run_torch_hazard_cv(
     Adam(L2)+ReduceLROnPlateau (final_multimodal.py:350-351), optional
     grad clip / early stop, degenerate-batch skip, pooled per-epoch Harrell
     C-index, best-epoch selection.
+
+    `init_state_dicts`: optional per-fold state dicts (ndarray values) —
+    loaded strict so BOTH twins start from identical weights (the
+    init-matched protocol of PARITY_TWIN_FLAGSHIP.md).
 
     `build_model(rna_dim)` -> nn.Module returning a (B,) hazard;
     `batch_inputs(tensors, b)` -> tuple of model inputs for row-index
@@ -611,6 +616,11 @@ def run_torch_hazard_cv(
     for fold, (tr, va) in enumerate(kfold.split(np.arange(len(time_np))),
                                     start=1):
         model = build_model(rna_dim)
+        if init_state_dicts is not None:
+            model.load_state_dict(
+                {k: torch.asarray(np.asarray(v))
+                 for k, v in init_state_dicts[fold - 1].items()},
+                strict=True)
         if optimizer == "adamw":
             opt = torch.optim.AdamW(model.parameters(), lr=learning_rate,
                                     weight_decay=weight_decay)

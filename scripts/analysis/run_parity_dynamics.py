@@ -54,6 +54,19 @@ def main():
                    help="simmim stage-1 epochs (reference count 30)")
     p.add_argument("--n-folds", type=int, default=3)
     p.add_argument("--torch-seeds", type=int, default=3)
+    p.add_argument("--init-matched", action="store_true",
+                   help="start BOTH sides from identical per-fold initial "
+                        "weights (JAX init exported via "
+                        "io/torch_import.export_torch_state_dict — the "
+                        "PARITY_TWIN_FLAGSHIP.md protocol); hazard families "
+                        "only (simple_fusion/flexible_multimodal/final). "
+                        "Torch seeds then vary only batch-order/dropout RNG.")
+    p.add_argument("--no-ragged-tail", action="store_true",
+                   help="trim the cohort to the largest size where every "
+                        "fold's train set is an exact multiple of the batch "
+                        "size — removes the torch-ragged-batch vs "
+                        "JAX-cycled-padding deviation (train/engine.py "
+                        "module docstring). Fully-labeled cohorts only.")
     p.add_argument("--band", type=float, default=0.08)
     p.add_argument("--image-shape", default="32,32,32")
     p.add_argument("--out-dir", default=str(REPO_ROOT))
@@ -119,6 +132,73 @@ def main():
     print(f"[dynamics:{args.model}] cohort rows: {arrays.n} "
           f"(labeled {int(arrays.arrays['svalid'].sum())})")
 
+    if args.no_ragged_tail:
+        if int(arrays.arrays["svalid"].sum()) != arrays.n:
+            p.error("--no-ragged-tail supports fully-labeled cohorts only")
+        k, bs = cfg.n_folds, cfg.batch_size
+        target = next((m for m in range(arrays.n, k - 1, -1)
+                       if m % k == 0 and (m - m // k) % bs == 0), None)
+        if target is None:
+            p.error("no cohort size <= %d gives exact batches" % arrays.n)
+        keep = set(arrays.patient_ids[:target])
+        table = table[table.patient_id.isin(keep)].copy()
+        prepared = prepare_cv_data(cfg, table, rnaseq_csv=rnaseq_csv)
+        arrays, _splits = prepared
+        tr_sizes = [len(tr) for tr, _, _ in _splits]
+        print(f"[dynamics:{args.model}] no-ragged-tail trim -> {arrays.n} "
+              f"rows, fold train sizes {tr_sizes} (bs={bs}: "
+              f"{'EXACT' if all(t % bs == 0 for t in tr_sizes) else 'STILL RAGGED'})")
+
+    init_exports = None
+    init_hook = None
+    if args.init_matched:
+        if args.model not in ("simple_fusion", "flexible_multimodal",
+                              "final"):
+            p.error("--init-matched supports the hazard families only")
+        from multimodal_survival_prediction_tpu.io.torch_import import (
+            export_torch_state_dict,
+        )
+        from multimodal_survival_prediction_tpu.parallel.multihost import (
+            fetch_tree,
+        )
+        from multimodal_survival_prediction_tpu.train.adapters import (
+            make_model_and_adapters,
+        )
+        from multimodal_survival_prediction_tpu.train.engine import (
+            TrainConfig,
+            Trainer,
+        )
+
+        model, batch_to_inputs, hazard_and_aux = make_model_and_adapters(
+            cfg, rna_dim=arrays.arrays["rnaseq"].shape[1])
+        tcfg = TrainConfig(
+            batch_size=cfg.batch_size, learning_rate=cfg.learning_rate,
+            weight_decay=cfg.weight_decay, optimizer=cfg.optimizer,
+            grad_clip=cfg.grad_clip, seed=cfg.seed, ties=cfg.ties)
+        init_trainer = Trainer(model, batch_to_inputs, hazard_and_aux, tcfg)
+        example = {k: np.asarray(v[:cfg.batch_size])
+                   for k, v in arrays.arrays.items()}
+        example["valid"] = example["svalid"]
+        inits = {}
+        for fold in range(1, cfg.n_folds + 1):
+            st = init_trainer.init_state(example, fold=fold, seed=cfg.seed)
+            inits[fold] = fetch_tree(
+                {"params": st.params, "batch_stats": st.batch_stats})
+            print(f"[dynamics:{args.model}] captured JAX init fold={fold}")
+        init_exports = [export_torch_state_dict(args.model, inits[f])
+                        for f in range(1, cfg.n_folds + 1)]
+
+        def init_hook(fold, state):
+            import dataclasses as _dc
+
+            import jax
+
+            iv = inits[fold]
+            return _dc.replace(
+                state,
+                params=jax.device_put(iv["params"]),
+                batch_stats=jax.device_put(iv["batch_stats"]))
+
     t0 = time.monotonic()
     torch_runs = {}
     for s in range(args.torch_seeds):
@@ -161,7 +241,8 @@ def main():
                 learning_rate=cfg.learning_rate,
                 weight_decay=cfg.weight_decay, optimizer=cfg.optimizer,
                 scheduler=cfg.scheduler, patience=cfg.patience,
-                grad_clip=cfg.grad_clip, seed=seed, split_seed=cfg.seed)
+                grad_clip=cfg.grad_clip, seed=seed, split_seed=cfg.seed,
+                init_state_dicts=init_exports)
         print(f"[dynamics:{args.model}] torch CV (init seed {seed}) done "
               f"at +{time.monotonic() - t0:.1f}s")
     torch_folds = torch_runs[cfg.seed]
@@ -170,7 +251,7 @@ def main():
     t0 = time.monotonic()
     _, jax_outcomes = run_cross_validation(
         cfg, table, rnaseq_csv=rnaseq_csv, num_epochs=epochs,
-        write_outputs=False, prepared=prepared)
+        write_outputs=False, prepared=prepared, init_hook=init_hook)
     jax_sec = time.monotonic() - t0
     print(f"[dynamics:{args.model}] jax CV done in {jax_sec:.1f}s")
 
@@ -183,6 +264,16 @@ def main():
             "delta": round(jo.best_c_index - tf["best_c_index"], 4),
             "torch_best_epoch": tf["best_epoch"],
             "jax_best_epoch": jo.best_epoch,
+            # per-epoch trajectories — the attribution signal (is a delta a
+            # level shift, a variance difference max-selection amplifies, …)
+            "torch_val_c_by_epoch": [round(h["val_c_index"], 4)
+                                     for h in tf.get("history", [])],
+            "jax_val_c_by_epoch": [round(h["val_c_index"], 4)
+                                   for h in jo.history],
+            "torch_train_loss_by_epoch": [round(h["train_loss"], 4)
+                                          for h in tf.get("history", [])],
+            "jax_train_loss_by_epoch": [round(h["train_loss"], 4)
+                                        for h in jo.history],
         })
     t_mean = float(np.mean([r["torch_best_c"] for r in rows]))
     j_mean = float(np.mean([r["jax_best_c"] for r in rows]))
@@ -202,7 +293,8 @@ def main():
                                      if args.model == "simmim" else None),
                    "n_folds": cfg.n_folds, "batch_size": cfg.batch_size,
                    "image_shape": list(image_shape),
-                   "cohort_rows": int(arrays.n), "band": args.band},
+                   "cohort_rows": int(arrays.n), "band": args.band,
+                   "no_ragged_tail": bool(args.no_ragged_tail)},
         "torch": {"c_index_mean": round(t_mean, 4),
                   "c_index_std": round(t_std, 4),
                   "seconds": round(torch_sec, 1),
@@ -212,11 +304,14 @@ def main():
                 "seconds": round(jax_sec, 1)},
         "mean_delta": round(mean_delta, 4),
         "within_band": ok,
+        "init_matched": bool(args.init_matched),
         "folds": rows,
     }
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / f"parity_dynamics_{args.model}.json").write_text(
+    suffix = ("_initmatched" if args.init_matched else "") + \
+        ("_noragged" if args.no_ragged_tail else "")
+    (out_dir / f"parity_dynamics_{args.model}{suffix}.json").write_text(
         json.dumps(payload, indent=2))
 
     title = {
@@ -269,17 +364,27 @@ def main():
             "count-sketch constants, CBP FFT, masked pre-norm transformer, "
             "masked mean-pool; Adam L2, plateau, clip 1.0, patience-15.",
     }[args.model]
+    im_note = (
+        " INIT-MATCHED: both sides start every fold from IDENTICAL initial "
+        "weights (JAX fold init exported via "
+        "io/torch_import.export_torch_state_dict, loaded strict — the "
+        "PARITY_TWIN_FLAGSHIP.md protocol); torch init seeds vary only "
+        "batch-order/dropout RNG." if args.init_matched else "")
     lines = [
-        f"## {title} (appended)",
+        f"## {title}{' — INIT-MATCHED' if args.init_matched else ''} "
+        "(appended)",
         "",
         "Same synthetic cohort, identical arrays (framework data layer), "
         "bit-identical sklearn KFold(seed 42) splits. " + what
-        + " JAX side: the framework's full CV driver.",
+        + " JAX side: the framework's full CV driver." + im_note,
         "",
         f"Cohort: {arrays.n} patients, {epochs} epochs"
         + (f" (+{cfg.stage1_epochs} stage-1)" if args.model == "simmim"
            else "")
         + f", {cfg.n_folds} folds, bs={cfg.batch_size}, image {image_shape}."
+        + (" NO-RAGGED-TAIL: cohort trimmed so every fold's train size is an"
+           " exact multiple of the batch size (no torch short batch, no JAX"
+           " cycled padding)." if args.no_ragged_tail else "")
         + (" Epoch counts scaled down from the reference 30+50 to keep the "
            "torch-CPU oracle feasible — the schedule SEMANTICS are what is "
            "under test." if args.model == "simmim" else ""),
@@ -306,8 +411,11 @@ def main():
         inside = (min(seed_means.values()) - 1e-9 <= j_mean
                   <= max(seed_means.values()) + 1e-9)
         lines += [
-            "Torch oracle CV mean at different init seeds (identical "
-            "splits): "
+            ("Torch oracle CV mean at different batch-order/dropout RNG "
+             "seeds (identical splits, IDENTICAL init weights): "
+             if args.init_matched else
+             "Torch oracle CV mean at different init seeds (identical "
+             "splits): ")
             + ", ".join(f"seed {s}: {m:.4f}"
                         for s, m in sorted(seed_means.items()))
             + f" — seed-to-seed spread {spread:.4f}. The JAX mean "
@@ -320,7 +428,9 @@ def main():
         ]
     lines += [
         f"Generated by `scripts/analysis/run_parity_dynamics.py --model "
-        f"{args.model}` (torch {torch_sec:.0f}s, jax {jax_sec:.0f}s).",
+        f"{args.model}"
+        + (" --init-matched" if args.init_matched else "")
+        + f"` (torch {torch_sec:.0f}s, jax {jax_sec:.0f}s).",
         "",
     ]
     md = out_dir / "PARITY_TWIN.md"
