@@ -75,7 +75,13 @@ def _densenet121_3d(out_features=128):
     layers += [nn.BatchNorm3d(ch), nn.ReLU(),
                nn.AdaptiveAvgPool3d(1), nn.Flatten(),
                nn.Linear(ch, out_features)]
-    return nn.Sequential(*layers)
+    net = nn.Sequential(*layers)
+    # MONAI's constructor ALWAYS applies this init; the reference runs MONAI
+    # (see torch_reference_named._apply_monai_densenet_init docstring).
+    from .torch_reference_named import _apply_monai_densenet_init
+
+    _apply_monai_densenet_init(net)
+    return net
 
 
 def build_torch_gated_net(rna_dim=5005):

@@ -92,7 +92,29 @@ def _monai_densenet121_3d(out_channels=128):
         def forward(self, x):
             return self.class_layers(self.features(x))
 
-    return DenseNet121()
+    net = DenseNet121()
+    _apply_monai_densenet_init(net)
+    return net
+
+
+def _apply_monai_densenet_init(net):
+    """MONAI's DenseNet constructor init (monai/networks/nets/densenet.py:
+    kaiming_normal_ on convs, BN weight=1/bias=0, Linear bias=0). The real
+    reference runs MONAI, whose __init__ ALWAYS applies this — a hand-built
+    layout twin without it silently trains from torch's default
+    kaiming_uniform(a=sqrt(5)) convs (std sqrt(6)x smaller), which round 4
+    measured as a ~0.2 C-index dynamics offset on a 31-row cohort
+    (PARITY_TWIN.md simple_fusion attribution)."""
+    import torch.nn as nn
+
+    for m in net.modules():
+        if isinstance(m, nn.Conv3d):
+            nn.init.kaiming_normal_(m.weight)
+        elif isinstance(m, nn.BatchNorm3d):
+            nn.init.constant_(m.weight, 1)
+            nn.init.constant_(m.bias, 0)
+        elif isinstance(m, nn.Linear):
+            nn.init.constant_(m.bias, 0)
 
 
 def build_reference_named_partial_modality(rna_dim=5005, clinical_dim=1,
