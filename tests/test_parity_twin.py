@@ -155,3 +155,28 @@ def test_trim_for_exact_batches():
     assert train_size % 8 == 0
     assert len(dropped) == 100 - len(trimmed)
     assert set(dropped).isdisjoint(set(trimmed.patient_id))
+
+
+def test_monai_densenet_oracle_init_statistics():
+    """The torch-twin DenseNet must apply MONAI's constructor init (the
+    real reference imports monai, whose DenseNet.__init__ kaiming_normal_s
+    every conv and zeroes Linear biases). Round 4 measured the missing init
+    as a +0.23 C-index twin offset (PARITY_TWIN.md simple_fusion
+    attribution): torch-default conv std is sqrt(6) smaller."""
+    import torch
+
+    from benchmarks.torch_reference_named import _monai_densenet121_3d
+
+    torch.manual_seed(0)
+    net = _monai_densenet121_3d(128)
+    sd = net.state_dict()
+    # conv0: 7x7x7 kernel, 1 input channel -> fan_in 343
+    w = sd["features.conv0.weight"]
+    expect = (2.0 / 343.0) ** 0.5
+    assert abs(float(w.std()) - expect) / expect < 0.05
+    # a 1x1 bottleneck conv: fan_in = in_channels
+    w = sd["features.denseblock1.denselayer1.layers.conv1.weight"]
+    expect = (2.0 / w.shape[1]) ** 0.5
+    assert abs(float(w.std()) - expect) / expect < 0.10
+    # MONAI zeroes the classifier Linear bias
+    assert float(sd["class_layers.out.bias"].abs().max()) == 0.0
