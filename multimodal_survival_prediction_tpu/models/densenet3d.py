@@ -116,6 +116,32 @@ class _Conv1Vars(nn.Module):
                                name="conv")()
 
 
+def _fused_stage(mod, x, *, norm_name, conv_name, out_features, dtype):
+    """Shared fused BN->ReLU->1x1-conv stage (DenseLayer stage 1 AND
+    Transition — a transition IS the same shape over the full-width trunk).
+    One home for the BN semantics that must stay in sync with
+    models/layers.BatchNorm: momentum 0.9 running-average update, biased
+    variance, eps 1e-5, and the flax init branch (init traces the plain-XLA
+    oracle, never Pallas, and skips the running-stats update).
+
+    ``mod`` is the calling module (inside its compact frame, so the
+    variable twins bind as its children under the standard names)."""
+    c = x.shape[-1]
+    scale, bias, ra_mean, ra_var = _Norm1Vars(c, name=norm_name)()
+    kernel = _Conv1Vars(out_features, c, name=conv_name)()
+    cdt = dtype or jnp.result_type(x, kernel)
+    x2 = x.reshape(-1, c).astype(cdt)
+    w2 = kernel.reshape(c, out_features).astype(cdt)
+    if mod.is_initializing():
+        out2, _, _ = bn_relu_conv1x1_reference(x2, scale, bias, w2)
+    else:
+        out2, mean, var = fused_bn_relu_conv1x1(x2, scale, bias, w2)
+        # flax running-average update (momentum 0.9, biased variance)
+        ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+        ra_var.value = 0.9 * ra_var.value + 0.1 * var
+    return out2.reshape(x.shape[:-1] + (out_features,))
+
+
 class DenseLayer(nn.Module):
     growth_rate: int
     bn_size: int
@@ -154,23 +180,10 @@ class DenseLayer(nn.Module):
     def _fused_stage1(self, x):
         """norm1 -> relu -> conv1 via ops.fused_dense (two HBM passes over
         the trunk, custom VJP). Train-mode only; the caller guarantees it.
-        flax init traces the plain-XLA oracle instead of Pallas, and — like
-        flax BatchNorm — skips the running-stats update while initializing."""
-        c = x.shape[-1]
-        f = self.bn_size * self.growth_rate
-        scale, bias, ra_mean, ra_var = _Norm1Vars(c, name="norm1")()
-        kernel = _Conv1Vars(f, c, name="conv1")()
-        cdt = self.dtype or jnp.result_type(x, kernel)
-        x2 = x.reshape(-1, c).astype(cdt)
-        w2 = kernel.reshape(c, f).astype(cdt)
-        if self.is_initializing():
-            out2, _, _ = bn_relu_conv1x1_reference(x2, scale, bias, w2)
-        else:
-            out2, mean, var = fused_bn_relu_conv1x1(x2, scale, bias, w2)
-            # flax running-average update (momentum 0.9, biased variance)
-            ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
-            ra_var.value = 0.9 * ra_var.value + 0.1 * var
-        return out2.reshape(x.shape[:-1] + (f,))
+        Semantics live in the shared ``_fused_stage`` helper."""
+        return _fused_stage(
+            self, x, norm_name="norm1", conv_name="conv1",
+            out_features=self.bn_size * self.growth_rate, dtype=self.dtype)
 
 
 class Transition(nn.Module):
@@ -184,19 +197,9 @@ class Transition(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.fused_bn1 and self.train:
-            c = x.shape[-1]
-            scale, bias, ra_mean, ra_var = _Norm1Vars(c, name="norm")()
-            kernel = _Conv1Vars(self.out_channels, c, name="conv")()
-            cdt = self.dtype or jnp.result_type(x, kernel)
-            x2 = x.reshape(-1, c).astype(cdt)
-            w2 = kernel.reshape(c, self.out_channels).astype(cdt)
-            if self.is_initializing():
-                out2, _, _ = bn_relu_conv1x1_reference(x2, scale, bias, w2)
-            else:
-                out2, mean, var = fused_bn_relu_conv1x1(x2, scale, bias, w2)
-                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
-                ra_var.value = 0.9 * ra_var.value + 0.1 * var
-            x = out2.reshape(x.shape[:-1] + (self.out_channels,))
+            x = _fused_stage(self, x, norm_name="norm", conv_name="conv",
+                             out_features=self.out_channels,
+                             dtype=self.dtype)
         else:
             x = BatchNorm(use_running_average=not self.train,
                           dtype=self.dtype, name="norm")(x)

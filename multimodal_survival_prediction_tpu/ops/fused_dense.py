@@ -45,6 +45,7 @@ Constraints (documented, enforced by the opt-in call sites):
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -59,9 +60,19 @@ def _interpret() -> bool:
 def _pick_tile(n: int, cap: int) -> int:
     """Largest divisor of ``n`` that is <= cap (grid tiles must cover N
     exactly; N here is batch x pooled-spatial, a power-of-two times the
-    batch in practice)."""
+    batch in practice). Warns when no divisor comes close to the cap —
+    an unlucky (odd/prime) row count degenerates to a rows-per-step grid
+    that is correct but pathologically slow; call sites should pad N to a
+    friendly multiple instead of eating that silently."""
     for t in range(min(n, cap), 0, -1):
         if n % t == 0:
+            if t * 8 <= min(n, cap):
+                warnings.warn(
+                    f"fused_dense._pick_tile: N={n} has no divisor near the "
+                    f"cap {cap}; using tile={t} ({n // t} grid steps) — "
+                    "pathologically small tiles; pad the row count to a "
+                    "power-of-two multiple for the fused path",
+                    stacklevel=3)
             return t
     return 1
 
@@ -241,6 +252,17 @@ def _bwd_dx(x2d, g, w2d, mul2, add2, mean2, rstd2, c1, c2):
 # ------------------------------------------------------------ the fused op
 
 
+def _check_dtypes(x2d, w2d):
+    # The kernels cast the normalized activations to w2d.dtype before the
+    # MXU matmul while the reference oracle casts to x2d.dtype — keep the
+    # two paths equivalent by requiring one compute dtype (ADVICE r4).
+    if x2d.dtype != w2d.dtype:
+        raise TypeError(
+            f"fused_bn_relu_conv1x1 requires x and W in the same compute "
+            f"dtype, got x={x2d.dtype} W={w2d.dtype}; cast both at the "
+            "call site (models/densenet3d.py does)")
+
+
 def _stats(x2d, scale, bias, eps):
     n = x2d.shape[0]
     s, sq = _moments(x2d)
@@ -269,12 +291,14 @@ def fused_bn_relu_conv1x1(x2d, scale, bias, w2d, eps=1e-5):
       float32 (C,) batch statistics for the flax running-average update.
       ``mean``/``var`` are NON-differentiable outputs (see module docstring).
     """
+    _check_dtypes(x2d, w2d)
     mean2, var2, _, mul2, add2 = _stats(x2d, scale, bias, eps)
     out = _apply(x2d, mul2, add2, w2d)
     return out, mean2[0], var2[0]
 
 
 def _fused_fwd(x2d, scale, bias, w2d, eps):
+    _check_dtypes(x2d, w2d)
     mean2, var2, rstd2, mul2, add2 = _stats(x2d, scale, bias, eps)
     out = _apply(x2d, mul2, add2, w2d)
     res = (x2d, w2d, mul2, add2, mean2, rstd2)

@@ -28,11 +28,17 @@ sys.path.insert(0, str(REPO_ROOT))
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True,
-                   choices=["simple_fusion", "flexible_multimodal", "final"])
+                   choices=["image_only", "simmim", "simple_fusion",
+                            "flexible_multimodal", "final", "mmsurv"])
     p.add_argument("--data-root", required=True)
     p.add_argument("--jax-seeds", default="43,44",
                    help="extra init seeds (cfg.seed's point exists already)")
-    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="stage-2/main epochs; defaults match "
+                        "run_parity_dynamics.py so the extra seeds are "
+                        "comparable to the recorded twin runs")
+    p.add_argument("--stage1-epochs", type=int, default=10,
+                   help="simmim stage-1 epochs (run_parity_dynamics default)")
     p.add_argument("--n-folds", type=int, default=3)
     p.add_argument("--image-shape", default="32,32,32")
     p.add_argument("--out-dir", default=str(REPO_ROOT))
@@ -61,13 +67,18 @@ def main():
 
     image_shape = tuple(int(x) for x in args.image_shape.split(","))
     seeds = [int(s) for s in args.jax_seeds.split(",")]
+    epochs = args.epochs or {"image_only": 30, "simmim": 12,
+                             "simple_fusion": 15, "flexible_multimodal": 15,
+                             "final": 15, "mmsurv": 15}[args.model]
     root = Path(args.data_root)
     table = load_matching_table(
         root / "data" / "processed" / "full_matching_table.csv")
     rnaseq_csv = root / "data" / "processed" / "rnaseq_normalized_mapped.csv"
 
-    cfg = dataclasses.replace(ALL_CONFIGS[args.model], n_folds=args.n_folds,
-                              image_shape=image_shape)
+    overrides = dict(n_folds=args.n_folds, image_shape=image_shape)
+    if args.model == "simmim":
+        overrides["stage1_epochs"] = args.stage1_epochs
+    cfg = dataclasses.replace(ALL_CONFIGS[args.model], **overrides)
     prepared = prepare_cv_data(cfg, table, rnaseq_csv=rnaseq_csv)
     arrays, _ = prepared
     print(f"[jaxseed:{args.model}] cohort rows: {arrays.n}")
@@ -103,14 +114,14 @@ def main():
 
         t0 = time.monotonic()
         _, outs = run_cross_validation(
-            cfg, table, rnaseq_csv=rnaseq_csv, num_epochs=args.epochs,
+            cfg, table, rnaseq_csv=rnaseq_csv, num_epochs=epochs,
             write_outputs=False, prepared=prepared, init_hook=inject)
         folds = [round(o.best_c_index, 4) for o in outs]
         seed_means[s] = round(float(np.mean(folds)), 4)
         print(f"[jaxseed:{args.model}] seed {s}: folds {folds} "
               f"mean {seed_means[s]} (+{time.monotonic() - t0:.0f}s)")
 
-    payload = {"model": args.model, "epochs": args.epochs,
+    payload = {"model": args.model, "epochs": epochs,
                "n_folds": cfg.n_folds, "cohort_rows": int(arrays.n),
                "jax_cv_mean_per_init_seed": seed_means,
                "seconds": round(time.monotonic() - t_all, 1)}
@@ -120,13 +131,19 @@ def main():
 
     md = out_dir / "PARITY_TWIN.md"
     line = (
-        f"\n\nJAX build CV mean at EXTRA init seeds (identical splits, "
-        f"same cohort; via scripts/analysis/extend_parity_dynamics_jax_seed"
-        f".py): "
+        f"\n\n{args.model}: JAX build CV mean at EXTRA init seeds "
+        f"(identical splits, same cohort; via "
+        f"scripts/analysis/extend_parity_dynamics_jax_seed.py): "
         + ", ".join(f"seed {s}: {m:.4f}" for s, m in sorted(
             seed_means.items()))
         + f" — to be read against the {args.model} sections above.\n")
-    md.write_text(md.read_text().rstrip() + line)
+    if md.exists():
+        md.write_text(md.read_text().rstrip() + line)
+    else:
+        # Don't raise after the (hours-long) CV runs when pointed at a
+        # fresh out-dir — the JSON above already holds the data (ADVICE r4).
+        print(f"[jaxseed:{args.model}] {md} absent; JSON written, "
+              "markdown append skipped")
     print(json.dumps(payload))
     return 0
 
