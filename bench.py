@@ -750,6 +750,34 @@ def main():
         watchdog, wd_deadline_at = _rearm_watchdog(
             watchdog, headroom, time.perf_counter() - wd_armed_at)
 
+    # Slow-transfer-day guard (2026-08-20): probe_headline_phase measured
+    # the WARM headline phase at 308-677 s across same-day runs — the
+    # warmup value fence drains queued uploads whose per-transfer round
+    # trips balloon while execution itself stays normal — and the default
+    # 540 s watchdog fired MID-HEADLINE, handing the driver a 0.0 line
+    # from a healthy tunnel. Every _PHASE_MARK milestone inside
+    # measure_train_steps_per_sec proves the tunnel is making progress,
+    # so guarantee a remaining-watchdog floor at each one: 600 s after
+    # "program ready" (the multi-minute transfer drain is next), 300 s
+    # otherwise. A DOWN tunnel stops producing milestones and still trips
+    # the then-current deadline. An explicit BENCH_WATCHDOG_SEC stays the
+    # user's absolute deadline — no hook installed.
+    if not WATCHDOG_EXPLICIT:
+        global _PHASE_MARK
+
+        def _milestone_rearm(label):
+            nonlocal watchdog, wd_deadline_at
+            floor = 600.0 if label.startswith("program ready") else 300.0
+            now = time.perf_counter()
+            if wd_deadline_at - now >= floor:
+                return
+            print(f"[bench] milestone '{label}': watchdog re-armed to "
+                  f"{floor:.0f}s floor", file=sys.stderr)
+            watchdog, wd_deadline_at = _rearm_watchdog(
+                watchdog, floor, now - wd_armed_at)
+
+        _PHASE_MARK = _milestone_rearm
+
     t_start = time.perf_counter()
 
     def _try(label, fn, *a, **kw):

@@ -51,18 +51,20 @@ SKIP_OPS = {"parameter", "constant", "get-tuple-element", "tuple", "bitcast",
             "iota", "after-all", "partition-id", "replica-id"}
 
 
+def _one_shape_bytes(dt: str, dims: str) -> int:
+    if dt not in DTYPE_BYTES:
+        return 0
+    n = 1
+    if dims:
+        for d in dims.split(","):
+            n *= int(d)
+    return n * DTYPE_BYTES[dt]
+
+
 def shape_bytes(text: str) -> int:
     """Total bytes of every dtype[dims] shape literal in `text`."""
-    total = 0
-    for dt, dims in _SHAPE_RE.findall(text):
-        if dt not in DTYPE_BYTES:
-            continue
-        n = 1
-        if dims:
-            for d in dims.split(","):
-                n *= int(d)
-        total += n * DTYPE_BYTES[dt]
-    return total
+    return sum(_one_shape_bytes(dt, dims)
+               for dt, dims in _SHAPE_RE.findall(text))
 
 
 def parse_computations(hlo: str) -> dict:
@@ -94,7 +96,12 @@ def opcode_of(rhs: str) -> str:
     return m.group(1) if m else "?"
 
 
-def category_of(op_name: str, opcode: str) -> str:
+def category_of(op_name: str, opcode: str, rhs: str = "") -> str:
+    # TPU lowers many trunk concatenates to a ConcatBitcast custom call
+    # (sync or wrapped in an async pair) — that IS concat traffic; without
+    # this it lands in "other/unattributed" (round-4's 19% bucket)
+    if "ConcatBitcast" in rhs:
+        return "concat"
     s = op_name.lower()
     if "conv" in s or opcode == "convolution":
         return "conv"
@@ -111,11 +118,18 @@ def category_of(op_name: str, opcode: str) -> str:
         return "transpose"
     if opcode in ("copy", "copy-start", "copy-done"):
         return "copy"
-    if "reduce_window" in s or "pool" in s:
+    if "reduce_window" in s or "pool" in s or opcode == "select-and-scatter":
         return "pooling"
     if opcode.startswith("all-") or opcode in ("reduce-scatter",
                                                "collective-permute"):
         return "collective"
+    if opcode in ("dynamic-update-slice", "dynamic-slice") and (
+            "while" in s or "scan" in s or not s):
+        # loop-carried buffer updates (the scan stacking its per-step
+        # outputs / slicing its per-step inputs)
+        return "scan_carry"
+    if "cox" in s or "logcumsumexp" in s or opcode == "sort":
+        return "cox_loss"
     return "other"
 
 
@@ -146,6 +160,8 @@ def _attribute(rows_op_names: list, opcode: str,
     (dynamic-update-slice -> scan-carry traffic, etc.)."""
     cats = [category_of(n, "") for n in rows_op_names]
     text = "\n".join(comp_lines) if comp_lines else ""
+    if "ConcatBitcast" in text:
+        return "concat", "ConcatBitcast"
     # trunk materialization first: a fusion of dynamic-update-slices writing
     # a layer's growth channels into (several) wider concat-trunk buffers —
     # the dominant DenseNet traffic pattern — often carries only a bitcast's
@@ -166,13 +182,57 @@ def _attribute(rows_op_names: list, opcode: str,
                             ("concatenate(", "concat"),
                             ("reduce-window(", "pooling"),
                             ("transpose(", "transpose"),
-                            ("sort(", "sort")):
+                            ("sort(", "sort"),
+                            # async staging computations that only slice a
+                            # big buffer into scratch space (S(1)) — the
+                            # trunk-prefetch pattern; an HBM read of the
+                            # sliced region per call
+                            ("slice(", "trunk_slice")):
             if needle in text:
                 return cat, ""
     return category_of("", opcode), ""
 
 
-def analyze(hlo: str, body_hint: str = "while") -> dict:
+_PARAM_RE = re.compile(r"^\s+%?([\w.\-]+)\s*=\s*(\S+)\s+parameter\((\d+)\)")
+
+
+def _per_use_multipliers(comp_lines: list) -> dict:
+    """{operand_index: internal use count} for a fused computation.
+
+    cost_analysis charges a fusion's operand bytes once per internal USE
+    (each fused instruction that reads the parameter re-streams it in the
+    model's accounting), where the fusion traffic model charges once per
+    operand. Counting textual references to each parameter's instruction
+    name inside the computation reproduces the cost_analysis convention
+    closely enough to reconcile the two totals (PERF.md round-5)."""
+    params = {}  # instr name -> operand index
+    for line in comp_lines:
+        m = _PARAM_RE.match(line)
+        if m:
+            params[m.group(1)] = int(m.group(3))
+    uses = {idx: 0 for idx in params.values()}
+    if not params:
+        return uses
+    name_re = re.compile(
+        r"%?(" + "|".join(re.escape(n) for n in params) + r")\b")
+    for line in comp_lines:
+        if _PARAM_RE.match(line):
+            continue
+        for m in name_re.finditer(line):
+            uses[params[m.group(1)]] += 1
+    return uses
+
+
+_OPERANDS_RE = re.compile(r"\(((?:%?[\w.\-]+(?:,\s*)?)+)\)")
+
+
+def analyze(hlo: str, body_hint: str = "while", charge: str = "operand") -> dict:
+    """charge='operand': each top-level instruction reads every operand once
+    (the fusion traffic model — a lower bound on DMA traffic, fusions stream
+    each input once). charge='per-use': fusion operands are charged once per
+    internal USE inside the fused computation — reproducing the convention
+    of the executable's own cost_analysis() (an upper bound: internal reuse
+    usually hits VMEM, not HBM). Real DMA traffic sits between the two."""
     comps = parse_computations(hlo)
     if not comps:
         raise ValueError("no computations parsed from HLO text")
@@ -187,6 +247,7 @@ def analyze(hlo: str, body_hint: str = "while") -> dict:
     _, body_name = max(candidates)
 
     rows = []
+    start_cat = {}  # async -start instr name -> (category, op_name)
     for line in comps[body_name]:
         m = _INSTR_RE.match(line)
         if not m:
@@ -210,9 +271,20 @@ def analyze(hlo: str, body_hint: str = "while") -> dict:
             b = shape_bytes(core[:om.start()]) if om else shape_bytes(core)
         else:
             b = shape_bytes(core)
+            if charge == "per-use" and opcode == "fusion":
+                cm = _CALLS_RE.search(rhs)
+                om = _OPCODE_RE.search(core)
+                if cm and om:
+                    out_b = shape_bytes(core[:om.start()])
+                    operand_b = [_one_shape_bytes(dt, dims) for dt, dims in
+                                 _SHAPE_RE.findall(core[om.end():])]
+                    mult = _per_use_multipliers(comps.get(cm.group(1), []))
+                    b = out_b + sum(
+                        ob * max(1, mult.get(i, 1))
+                        for i, ob in enumerate(operand_b))
         opn = _OPNAME_RE.search(rhs)
         op_name = opn.group(1) if opn else ""
-        category = category_of(op_name, opcode)
+        category = category_of(op_name, opcode, rhs)
         if not op_name and (opcode == "fusion"
                             or opcode.startswith(("async", "copy"))):
             # attribute an unnamed fusion via its called computation's
@@ -222,6 +294,14 @@ def analyze(hlo: str, body_hint: str = "while") -> dict:
                 category, op_name = _attribute(
                     _comp_op_names(comps, cm.group(1)), opcode,
                     comp_lines=comps.get(cm.group(1)))
+        if opcode.endswith("-start"):
+            start_cat[name] = (category, op_name)
+        elif opcode.endswith("-done") and category in ("other", "copy"):
+            # a -done names its -start as operand; inherit its attribution
+            for sname, (scat, sop) in start_cat.items():
+                if sname in rhs:
+                    category, op_name = scat, sop or op_name
+                    break
         rows.append({
             "instr": name,
             "opcode": opcode,
@@ -366,23 +446,35 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--source", default="aot", choices=["aot", "compile"])
+    p.add_argument("--charge", default="operand",
+                   choices=["operand", "per-use"],
+                   help="operand: fusion traffic model (streams each input "
+                        "once — lower bound); per-use: cost_analysis's "
+                        "convention (operand bytes x internal uses — upper "
+                        "bound)")
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--json-out", default=None)
     args = p.parse_args()
 
     hlo, ca_bytes = get_headline_hlo(args.batch, args.dtype, args.source)
     print(f"[hlo-bytes] HLO text: {len(hlo) / 1e6:.1f} MB", file=sys.stderr)
-    rep = analyze(hlo)
+    rep = analyze(hlo, charge=args.charge)
+    # always compute the OTHER charging mode's total for the reconciliation
+    other_mode = "per-use" if args.charge == "operand" else "operand"
+    other_total = analyze(hlo, charge=other_mode)["total_bytes"]
 
     rep["batch"] = args.batch
     rep["dtype"] = args.dtype
+    rep["charge"] = args.charge
+    rep[f"total_bytes_{other_mode.replace('-', '_')}"] = other_total
     rep["cost_analysis_bytes"] = ca_bytes
     rep["model_vs_cost_analysis"] = (
         round(rep["total_bytes"] / ca_bytes, 3) if ca_bytes else None)
 
     print(f"scan body: {rep['body']} ({rep['n_instructions']} streaming "
           f"instructions)")
-    print(f"fusion-model total: {rep['total_bytes'] / 1e9:.2f} GB/step"
+    print(f"{args.charge}-charged total: {rep['total_bytes'] / 1e9:.2f} "
+          f"GB/step  ({other_mode}: {other_total / 1e9:.2f} GB)"
           + (f"  (cost_analysis: {ca_bytes / 1e9:.2f} GB — ratio "
              f"{rep['model_vs_cost_analysis']})" if ca_bytes else ""))
     print("\nby category (GB/step):")
