@@ -70,18 +70,21 @@ def main():
           f"{step_bytes / 1e9:.2f} GB/step modeled", file=sys.stderr)
 
     def step(bufs, c):
-        # chain the scalar through every buffer so no pass can be elided
-        # or reordered; each buffer is read and rewritten once per pass
+        # one multiply-add over every buffer per pass, with an
+        # optimization_barrier between passes so each pass lowers to its
+        # own fusion (one HBM read + one write per buffer per pass).
+        # Earlier versions chained scalars/reductions between passes and
+        # XLA still collapsed the chain — scalar-broadcast elementwise
+        # chains stay pointwise-computable, so the compiler fused all
+        # passes into ~one HBM pass (cost_analysis 0.9-1.0 GB/step vs the
+        # intended 26.8; measured 2026-08-20). The barrier is the
+        # guaranteed fence; cost_analysis below CONFIRMS the per-pass
+        # traffic actually materialized.
         for _ in range(args.passes):
-            new = []
-            for b in bufs:
-                b = b * c + jnp.asarray(1.0, b.dtype)
-                new.append(b)
-                # feed one element forward so passes are sequential
-                c = c * jnp.asarray(0.999, c.dtype) + new[-1][0] * \
-                    jnp.asarray(1e-12, c.dtype)
-            bufs = new
-        return bufs, c
+            bufs = [b * jnp.asarray(1.0001, b.dtype)
+                    + jnp.asarray(1e-6, b.dtype) for b in bufs]
+            bufs = list(jax.lax.optimization_barrier(tuple(bufs)))
+        return bufs, c + bufs[0][0].astype(jnp.float32)
 
     def chunk(bufs, c):
         def body(carry, _):
@@ -96,7 +99,7 @@ def main():
     rng = np.random.default_rng(0)
     bufs = [jnp.asarray(rng.normal(size=n).astype(np.float32), dtype)
             for n in ns]
-    c0 = jnp.asarray(1.0, dtype)
+    c0 = jnp.asarray(1.0, jnp.float32)
 
     jitted = jax.jit(chunk, donate_argnums=(0,))
     print("[stream-floor] compiling...", file=sys.stderr)
@@ -105,10 +108,12 @@ def main():
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
+    # XLA counts the scan body ONCE (PERF.md round-3 note on the bench
+    # chunk), so "bytes accessed" is already per scan STEP, not per
+    # dispatch
     ca_bytes = float(ca.get("bytes accessed") or 0.0)
-    print(f"[stream-floor] cost_analysis bytes/dispatch "
-          f"{ca_bytes / 1e9:.2f} GB (/step {ca_bytes / args.steps / 1e9:.2f})",
-          file=sys.stderr)
+    print(f"[stream-floor] cost_analysis bytes/step {ca_bytes / 1e9:.2f} GB "
+          f"(scan body counted once)", file=sys.stderr)
 
     # warm run + fence via value readback (axon: block_until_ready lies)
     out_bufs, s = compiled(bufs, c0)
@@ -122,13 +127,13 @@ def main():
     best = min(times)
     per_step = best / args.steps
     eff_model = step_bytes / per_step
-    eff_ca = (ca_bytes / args.steps) / per_step
+    eff_ca = ca_bytes / per_step
     res = {
         "buffers_mb": sizes_mb, "passes": args.passes,
         "scan_steps": args.steps, "dtype": args.dtype,
         "working_set_gb": round(ws_bytes / 1e9, 3),
         "modeled_gb_per_step": round(step_bytes / 1e9, 3),
-        "cost_analysis_gb_per_step": round(ca_bytes / args.steps / 1e9, 3),
+        "cost_analysis_gb_per_step": round(ca_bytes / 1e9, 3),
         "dispatch_seconds": [round(t, 4) for t in times],
         "ms_per_step": round(per_step * 1e3, 3),
         "effective_gb_s_modeled": round(eff_model / 1e9, 1),
