@@ -24,6 +24,16 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO_ROOT))
 
+import os  # noqa: E402
+
+# Persistent XLA compile cache: the extra-seed CV runs re-trace the exact
+# programs a prior run_parity_dynamics.py run compiled (identical cohort
+# shapes), so with the shared cache each seed costs train time only, not
+# the single-core compile marathon (see run_parity_dynamics.py note).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(REPO_ROOT / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)

@@ -36,6 +36,19 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO_ROOT))
 
+import os  # noqa: E402
+
+# The JAX-side CV is XLA-compile-dominated on this host's single CPU core
+# (distinct whole-epoch scan programs per fold/stage); the persistent
+# compilation cache makes repeat runs of the same family — including the
+# extend_parity_dynamics_jax_seed.py extra-seed runs, identical shapes —
+# skip those compiles entirely (same pattern as benchmarks/
+# probe_batch_scaling.py; remote-tunnel compiles are NOT cacheable this
+# way, CPU ones are).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(REPO_ROOT / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
