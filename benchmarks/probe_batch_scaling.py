@@ -37,7 +37,7 @@ K = 64  # steps per dispatch
 
 
 def probe(batch, timed_dispatches=3, discard=1, remat=False,
-          trunk="concat", fused_bn1=False):
+          trunk="concat", fused_bn1=False, folds=1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -50,26 +50,38 @@ def probe(batch, timed_dispatches=3, discard=1, remat=False,
     model = PartialModalityNet(dtype=jnp.bfloat16, remat=remat, trunk=trunk,
                                fused_bn1=fused_bn1)
     b_np = _example_batch(batch, IMAGE_SHAPE, RNA_DIM)
+    if folds > 1:
+        # per-fold batches differ (different seeds), matching
+        # bench.measure_train_steps_per_sec's fold-parallel chunk
+        b_np = {k: np.stack(
+            [_example_batch(batch, IMAGE_SHAPE, RNA_DIM, seed=f)[k]
+             for f in range(folds)]) for k in b_np}
     data_b = jax.device_put(b_np)
     rng = jax.random.PRNGKey(0)
+    one_np = _example_batch(batch, IMAGE_SHAPE, RNA_DIM)
     shapes = jax.eval_shape(
         lambda: model.init(
             {"params": rng, "dropout": rng},
-            b_np["image"], b_np["rnaseq"], b_np["clinical"], b_np["mask"],
-            train=False))
-    variables = jax.device_put(jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, s.dtype), shapes))
+            one_np["image"], one_np["rnaseq"], one_np["clinical"],
+            one_np["mask"], train=False))
+
+    def _zeros(s):
+        shape = (folds, *s.shape) if folds > 1 else s.shape
+        return np.zeros(shape, s.dtype)
+
+    variables = jax.device_put(jax.tree_util.tree_map(_zeros, shapes))
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
     opt_state = jax.device_put(jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, s.dtype),
-        jax.eval_shape(tx.init, shapes["params"])))
+        _zeros, jax.eval_shape(tx.init, shapes["params"])))
 
     # shared with bench.measure_train_steps_per_sec — the probe times the
     # SAME loss/step program the bench headline pins (bench.py is the
     # source of truth; this probe only drops the 1-fold vmap wrapper, a
-    # documented difference, docs/PERF.md)
-    _, one_step = make_flagship_step(model, tx)
+    # documented difference, docs/PERF.md). folds>1 adds the SAME vmap
+    # wrapper the bench fold-parallel chunk uses.
+    _, one_fold_step = make_flagship_step(model, tx)
+    one_step = one_fold_step if folds == 1 else jax.vmap(one_fold_step)
 
     def chunk(p, bs, opt, b, keys):
         def body(carry, key1):
@@ -83,7 +95,8 @@ def probe(batch, timed_dispatches=3, discard=1, remat=False,
     key = jax.random.PRNGKey(1)
 
     def step_keys(seed):
-        return jax.random.split(jax.random.fold_in(key, seed), K)
+        ks = jax.random.split(jax.random.fold_in(key, seed), K * folds)
+        return ks if folds == 1 else ks.reshape(K, folds, 2)
 
     t0 = time.perf_counter()
     compiled = jax.jit(chunk, donate_argnums=(0, 1, 2)).lower(
@@ -113,11 +126,12 @@ def probe(batch, timed_dispatches=3, discard=1, remat=False,
 
     out = {
         "batch": batch,
+        "folds": folds,
         "remat": remat,
         "trunk": trunk,
         "fused_bn1": fused_bn1,
         "steps_per_sec": round(steps_per_sec, 2),
-        "patients_per_sec": round(steps_per_sec * batch, 1),
+        "patients_per_sec": round(steps_per_sec * batch * folds, 1),
         "ms_per_step": round(1000.0 / steps_per_sec, 2),
         "flops_per_step": flops_step,
         "bytes_per_step": bytes_step,
@@ -154,13 +168,18 @@ def main():
                    help="selective variant: fuse only stages whose trunk has"
                         " <= this many rows (B*D*H*W) — the per-shape "
                         "crossover probe_fused_dense.py measured")
+    p.add_argument("--folds", type=int, default=1,
+                   help="vmap the step over K stacked fold states (the "
+                        "bench fold-parallel chunk pattern) — probes "
+                        "fold-parallel CV chip efficiency at non-reference "
+                        "per-fold batches (VERDICT r4 stretch)")
     args = p.parse_args()
     fused = (args.fused_bn1_rows if args.fused_bn1_rows is not None
              else args.fused_bn1)
     for b in (int(x) for x in args.batches.split(",")):
         print(json.dumps(probe(b, timed_dispatches=args.timed_dispatches,
                                remat=args.remat, trunk=args.trunk,
-                               fused_bn1=fused)),
+                               fused_bn1=fused, folds=args.folds)),
               flush=True)
 
 
