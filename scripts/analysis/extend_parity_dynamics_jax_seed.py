@@ -38,8 +38,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True,
-                   choices=["image_only", "simmim", "simple_fusion",
-                            "flexible_multimodal", "final", "mmsurv"])
+                   choices=["rnaseq_only", "image_only", "simmim",
+                            "simple_fusion", "flexible_multimodal", "final",
+                            "mmsurv"],
+                   help="rnaseq_only extends the ORIGINAL run_parity.py twin "
+                        "(50 epochs, 2000-patient spec -> 812-row cohort); "
+                        "the rest extend run_parity_dynamics.py twins")
     p.add_argument("--data-root", required=True)
     p.add_argument("--jax-seeds", default="43,44",
                    help="extra init seeds (cfg.seed's point exists already)")
@@ -77,9 +81,10 @@ def main():
 
     image_shape = tuple(int(x) for x in args.image_shape.split(","))
     seeds = [int(s) for s in args.jax_seeds.split(",")]
-    epochs = args.epochs or {"image_only": 30, "simmim": 12,
-                             "simple_fusion": 15, "flexible_multimodal": 15,
-                             "final": 15, "mmsurv": 15}[args.model]
+    epochs = args.epochs or {"rnaseq_only": 50, "image_only": 30,
+                             "simmim": 12, "simple_fusion": 15,
+                             "flexible_multimodal": 15, "final": 15,
+                             "mmsurv": 15}[args.model]
     root = Path(args.data_root)
     table = load_matching_table(
         root / "data" / "processed" / "full_matching_table.csv")
